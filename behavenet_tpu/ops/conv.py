@@ -1,0 +1,159 @@
+"""2-D conv / conv-transpose / pool primitives with BehaveNet padding semantics.
+
+These are thin, fully-static wrappers around ``jax.lax`` conv primitives, in
+NHWC layout (TPU-preferred; images map channels onto lanes). The padding
+contract matches the reference torch modules:
+
+- encoder convs use explicit (before, after) per-dim pads from the arch dict
+  (reference behavenet/models/aes.py:127-163 inserts a ZeroPad2d for
+  asymmetric pads); here asymmetric padding is passed straight to XLA.
+- decoder transposed convs reproduce torch ConvTranspose2d with
+  ``padding``/``output_padding``, including the reference's negative-pad
+  cropping trick for asymmetric 'same' padding (aes.py:407-418, 465-470):
+  cropping c pixels off a side is folded into the conv padding directly.
+- maxpool (kernel 2, stride 2) returns torch-style flat argmax indices so a
+  matching unpool can scatter values back (aes.py:100-110, 281-294).
+
+Compute dtype is configurable: inputs/weights are cast to ``compute_dtype``
+(default bfloat16 on TPU) and accumulation is float32 via
+``preferred_element_type``.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMSPEC = ('NHWC', 'HWIO', 'NHWC')
+
+
+def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None):
+    """Conv with explicit asymmetric padding.
+
+    Parameters
+    ----------
+    x : (N, H, W, Cin)
+    w : (kh, kw, Cin, Cout)
+    b : (Cout,) or None
+    stride : int
+    pad_y, pad_x : (before, after) tuples
+    """
+    dtype = compute_dtype or x.dtype
+    out = lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype),
+        window_strides=(stride, stride),
+        padding=(tuple(pad_y), tuple(pad_x)),
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out
+
+
+def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
+                     compute_dtype=None):
+    """Transposed conv matching torch ConvTranspose2d semantics.
+
+    Implemented as an input-dilated convolution: dilate by ``stride``, pad
+    each spatial dim with ``(k-1-p_before, k-1-p_after+output_padding)`` and
+    correlate with the spatially-flipped kernel. Output size is
+    ``(in-1)*s + k - p_before - p_after + out_pad`` per dim, which equals
+    torch's ``(in-1)*s - 2p + k + op`` for symmetric pads and equals the
+    reference's conv-then-crop for asymmetric pads (aes.py:465-470).
+
+    Parameters
+    ----------
+    x : (N, H, W, Cin)
+    w : (kh, kw, Cin, Cout) — stored in forward orientation for this layer
+    b : (Cout,) or None
+    stride : int
+    pad_y, pad_x : (before, after) "input padding" in the torch sense
+    out_pad : (opy, opx) torch output_padding
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    py0, py1 = pad_y
+    px0, px1 = pad_x
+    opy, opx = out_pad
+    dtype = compute_dtype or x.dtype
+    # flip spatial dims: conv-transpose is correlation with the flipped kernel
+    w_flip = w[::-1, ::-1, :, :]
+    out = lax.conv_general_dilated(
+        x.astype(dtype), w_flip.astype(dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1 - py0, kh - 1 - py1 + opy),
+                 (kw - 1 - px0, kw - 1 - px1 + opx)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out
+
+
+def max_pool2d_with_indices(x, ceil_mode=True):
+    """2x2/stride-2 max pool returning values and torch-style flat indices.
+
+    The reference only ever uses kernel=2, stride=2 pooling
+    (ae_model_architecture_generator.py:97-98); ceil_mode=True corresponds
+    to 'same' padding archs (aes.py:173-178).
+
+    Returns
+    -------
+    (pooled, indices): pooled is (N, Ho, Wo, C) float; indices is
+    (N, Ho, Wo, C) int32 of flat positions into the *input* H*W plane
+    (torch MaxPool2d return_indices convention), used by
+    :func:`max_unpool2d`.
+    """
+    n, h, w, c = x.shape
+    ho = -(-(h - 2) // 2) + 1 if ceil_mode else (h - 2) // 2 + 1
+    wo = -(-(w - 2) // 2) + 1 if ceil_mode else (w - 2) // 2 + 1
+    hp, wp = ho * 2, wo * 2
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # ceil mode pads with -inf to an even extent; floor mode crops the remainder
+    xp = x[:, :min(h, hp), :min(w, wp), :]
+    if hp > h or wp > w:
+        xp = jnp.pad(xp, ((0, 0), (0, max(0, hp - h)), (0, max(0, wp - w)), (0, 0)),
+                     constant_values=neg)
+    # window layout: (N, Ho, 2, Wo, 2, C) -> (N, Ho, Wo, C, 4)
+    xw = xp.reshape(n, ho, 2, wo, 2, c).transpose(0, 1, 3, 5, 2, 4).reshape(n, ho, wo, c, 4)
+    amax = jnp.argmax(xw, axis=-1).astype(jnp.int32)  # in [0,4): (dy*2+dx)
+    pooled = jnp.max(xw, axis=-1)
+    dy, dx = amax // 2, amax % 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, ho, wo, c), 1) * 2 + dy
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, ho, wo, c), 2) * 2 + dx
+    indices = row * w + col
+    return pooled, indices
+
+
+def max_unpool2d(x, indices, out_hw):
+    """Scatter pooled values back to ``out_hw`` using flat indices.
+
+    Matches torch MaxUnpool2d with the indices produced by
+    :func:`max_pool2d_with_indices` (reference aes.py:281-294, 460-464).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    vals = x.reshape(n, h * w, c)
+    idx = indices.reshape(n, h * w, c)
+    out = jnp.zeros((n, oh * ow, c), dtype=x.dtype)
+    n_idx = jax.lax.broadcasted_iota(jnp.int32, (n, h * w, c), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (n, h * w, c), 2)
+    out = out.at[n_idx, idx, c_idx].set(vals, mode='drop')
+    return out.reshape(n, oh, ow, c)
+
+
+def leaky_relu(x, negative_slope=0.05):
+    """LeakyReLU with the reference's slope of 0.05 (aes.py:114)."""
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def linear(x, w, b=None):
+    """Dense layer: x @ w + b with f32 accumulation.
+
+    x: (..., din); w: (din, dout); b: (dout,)
+    """
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out

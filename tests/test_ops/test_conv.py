@@ -1,0 +1,104 @@
+"""Numerical parity of conv/pool primitives against torch reference semantics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from behavenet_tpu.ops import conv as ops
+
+
+def _nhwc(t):
+    return t.numpy().transpose(0, 2, 3, 1)
+
+
+class TestConv2d:
+
+    def test_asymmetric_padding(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 13, 17, 3).astype(np.float32)
+        w = rng.randn(5, 5, 3, 8).astype(np.float32)
+        b = rng.randn(8).astype(np.float32)
+        pad_y, pad_x = (1, 2), (2, 1)
+        out = np.asarray(ops.conv2d(jnp.array(x), jnp.array(w), jnp.array(b), 2, pad_y, pad_x))
+        xt = torch.tensor(x.transpose(0, 3, 1, 2))
+        xt = F.pad(xt, [pad_x[0], pad_x[1], pad_y[0], pad_y[1]])
+        wt = torch.tensor(w.transpose(3, 2, 0, 1))
+        ref = _nhwc(F.conv2d(xt, wt, torch.tensor(b), stride=2))
+        assert out.shape == ref.shape
+        assert np.allclose(out, ref, atol=1e-4)
+
+    @pytest.mark.parametrize('stride,pad', [(1, 0), (2, 2), (2, 1)])
+    def test_symmetric_padding(self, stride, pad):
+        rng = np.random.RandomState(1)
+        x = rng.randn(3, 16, 16, 4).astype(np.float32)
+        w = rng.randn(3, 3, 4, 6).astype(np.float32)
+        b = rng.randn(6).astype(np.float32)
+        out = np.asarray(ops.conv2d(
+            jnp.array(x), jnp.array(w), jnp.array(b), stride, (pad, pad), (pad, pad)))
+        xt = torch.tensor(x.transpose(0, 3, 1, 2))
+        wt = torch.tensor(w.transpose(3, 2, 0, 1))
+        ref = _nhwc(F.conv2d(xt, wt, torch.tensor(b), stride=stride, padding=pad))
+        assert np.allclose(out, ref, atol=1e-4)
+
+
+class TestConvTranspose2d:
+
+    @pytest.mark.parametrize('stride,pad,out_pad', [(2, 2, 1), (1, 0, 0), (3, 1, 2)])
+    def test_symmetric(self, stride, pad, out_pad):
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 4, 5, 8).astype(np.float32)
+        w = rng.randn(5, 5, 8, 3).astype(np.float32)
+        b = rng.randn(3).astype(np.float32)
+        out = np.asarray(ops.conv_transpose2d(
+            jnp.array(x), jnp.array(w), jnp.array(b), stride,
+            (pad, pad), (pad, pad), (out_pad, out_pad)))
+        xt = torch.tensor(x.transpose(0, 3, 1, 2))
+        wt = torch.tensor(w.transpose(2, 3, 0, 1))  # torch: (in, out, kh, kw)
+        ref = _nhwc(F.conv_transpose2d(
+            xt, wt, torch.tensor(b), stride=stride, padding=pad, output_padding=out_pad))
+        assert out.shape == ref.shape
+        assert np.allclose(out, ref, atol=1e-4)
+
+    def test_asymmetric_crop(self):
+        """Asymmetric 'same' padding: reference pads 0 then crops (aes.py:465-470)."""
+        rng = np.random.RandomState(3)
+        x = rng.randn(2, 4, 5, 8).astype(np.float32)
+        w = rng.randn(5, 5, 8, 3).astype(np.float32)
+        b = rng.randn(3).astype(np.float32)
+        x0, x1, y0, y1 = 1, 2, 2, 1
+        out = np.asarray(ops.conv_transpose2d(
+            jnp.array(x), jnp.array(w), jnp.array(b), 2, (y0, y1), (x0, x1), (0, 0)))
+        xt = torch.tensor(x.transpose(0, 3, 1, 2))
+        wt = torch.tensor(w.transpose(2, 3, 0, 1))
+        ref_t = F.conv_transpose2d(xt, wt, torch.tensor(b), stride=2, padding=0)
+        ref = _nhwc(F.pad(ref_t, [-x0, -x1, -y0, -y1]))
+        assert out.shape == ref.shape
+        assert np.allclose(out, ref, atol=1e-4)
+
+
+class TestMaxPoolUnpool:
+
+    @pytest.mark.parametrize('hw,ceil', [((14, 14), False), ((13, 17), True), ((13, 17), False)])
+    def test_pool_indices_and_unpool(self, hw, ceil):
+        h, w = hw
+        rng = np.random.RandomState(4)
+        x = rng.randn(2, h, w, 4).astype(np.float32)
+        pooled, idx = ops.max_pool2d_with_indices(jnp.array(x), ceil_mode=ceil)
+        xt = torch.tensor(x.transpose(0, 3, 1, 2))
+        pt, it = F.max_pool2d(xt, 2, 2, ceil_mode=ceil, return_indices=True)
+        assert np.allclose(np.asarray(pooled), _nhwc(pt))
+        assert (np.asarray(idx) == it.numpy().transpose(0, 2, 3, 1)).all()
+        up = np.asarray(ops.max_unpool2d(pooled, idx, (h, w)))
+        ut = _nhwc(F.max_unpool2d(pt, it, 2, 2, output_size=(h, w)))
+        assert np.allclose(up, ut)
+
+
+class TestActivations:
+
+    def test_leaky_relu_slope(self):
+        x = jnp.array([-2.0, -0.5, 0.0, 1.5])
+        out = np.asarray(ops.leaky_relu(x))
+        assert np.allclose(out, [-0.1, -0.025, 0.0, 1.5])
