@@ -1,0 +1,1 @@
+"""Fitting layer: training loop, experiment store, config/grid machinery, eval."""

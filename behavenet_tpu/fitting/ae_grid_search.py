@@ -1,0 +1,104 @@
+"""CLI: fit autoencoder-family models over a hyperparameter grid.
+
+Usage (identical to the reference behavenet/fitting/ae_grid_search.py):
+
+    python -m behavenet_tpu.fitting.ae_grid_search \
+        --data_config d.json --model_config m.json \
+        --training_config t.json --compute_config c.json
+"""
+
+import os
+
+from behavenet_tpu.data.utils import build_data_generator
+from behavenet_tpu.fitting.eval import export_train_plots
+from behavenet_tpu.fitting.experiment import (
+    _clean_dir, create_experiment, export_hparams)
+from behavenet_tpu.fitting.hyperparams import get_all_params, print_hparams, run_grid_search
+from behavenet_tpu.fitting.training import fit
+from behavenet_tpu.models.aes import load_pretrained_ae
+
+
+def main(hparams, *args):
+    """Fit one grid trial (reference ae_grid_search.py:20-146)."""
+    if not isinstance(hparams, dict):
+        hparams = vars(hparams)
+
+    if hparams['model_type'] == 'conv':
+        # blend outer hparams with architecture hparams
+        hparams = {**hparams['architecture_params'], **hparams}
+
+    print_hparams(hparams)
+
+    if hparams['model_type'] == 'conv' and hparams['n_ae_latents'] > hparams['max_latents']:
+        raise ValueError('Number of latents higher than max latents, architecture will not work')
+
+    hparams, sess_ids, exp = create_experiment(hparams)
+    if hparams is None:
+        print('Experiment exists! Aborting fit')
+        return
+
+    data_generator = build_data_generator(hparams, sess_ids)
+
+    def set_n_labels(data_generator, hparams):
+        data, _ = data_generator.next_batch('val')
+        if isinstance(data, list):
+            data = data[0]
+        hparams['n_labels'] = int(data['labels'].shape[1])
+        data_generator.reset_iterators('val')
+
+    print('constructing model...', end='')
+    hparams['n_datasets'] = len(sess_ids)
+    mc = hparams['model_class']
+    if mc == 'ae':
+        from behavenet_tpu.models import AE as Model
+    elif mc == 'vae':
+        from behavenet_tpu.models import VAE as Model
+    elif mc == 'beta-tcvae':
+        from behavenet_tpu.models import BetaTCVAE as Model
+    elif mc == 'ps-vae':
+        from behavenet_tpu.models import PSVAE as Model
+        set_n_labels(data_generator, hparams)
+    elif mc == 'msps-vae':
+        from behavenet_tpu.models import MSPSVAE as Model
+        set_n_labels(data_generator, hparams)
+    elif mc == 'cond-vae':
+        from behavenet_tpu.models import ConditionalVAE as Model
+        set_n_labels(data_generator, hparams)
+    elif mc == 'cond-ae':
+        from behavenet_tpu.models import ConditionalAE as Model
+        set_n_labels(data_generator, hparams)
+    elif mc == 'cond-ae-msp':
+        from behavenet_tpu.models import AEMSP as Model
+        set_n_labels(data_generator, hparams)
+    else:
+        raise NotImplementedError(
+            'The model class "%s" is not currently implemented' % mc)
+    model = Model(hparams)
+    model.version = exp.version
+
+    hparams['training_completed'] = False
+    # drop non-picklable/bulky entries before export
+    export_hparams(hparams, exp)
+    print('done')
+
+    fit(hparams, model, data_generator, exp, method='ae',
+        warm_start=lambda params: load_pretrained_ae(params, model, hparams))
+
+    hparams['training_completed'] = True
+    export_hparams(hparams, exp)
+
+    _clean_dir(hparams)
+
+    if hparams.get('export_train_plots', False):
+        print('creating training plots...', end='')
+        version_dir = os.path.join(hparams['expt_dir'], 'version_%i' % hparams['version'])
+        save_file = os.path.join(version_dir, 'loss_training')
+        export_train_plots(hparams, 'train', save_file=save_file)
+        save_file = os.path.join(version_dir, 'loss_validation')
+        export_train_plots(hparams, 'val', save_file=save_file)
+        print('done')
+
+
+if __name__ == '__main__':
+    hyperparams = get_all_params('grid_search')
+    run_grid_search(main, hyperparams)

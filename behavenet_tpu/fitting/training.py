@@ -1,0 +1,367 @@
+"""Training loop: jitted optax train steps, early stopping, metric logging.
+
+Behavioral contract follows the reference (behavenet/fitting/training.py):
+- Adam with amsgrad and l2 via weight decay-in-gradient (training.py:284-286)
+- epoch 0 is an eval-only pass of the randomly initialized model (:320-322)
+- per-epoch deterministic reseeding of batching order for restartability
+  (:327-328)
+- validation checks on a precomputed batch schedule supporting fractional
+  val_check_interval (:302-306)
+- best-model checkpoint on aggregate val-loss improvement (:388-397)
+- per-trial test metric rows at the end (:435-447)
+- export of latents/predictions dispatched by method (:452-461)
+
+TPU-native design: each (model, trial-shape) pair compiles once to a fused
+XLA train step (forward + loss + backward + optimizer update) with donated
+params/opt state; uint8 image batches are normalized to [0,1] float32 on
+device inside the jitted step; metric scalars stay on device during the
+epoch and are only pulled back when a csv row is written, keeping dispatch
+asynchronous.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from behavenet_tpu.models import base as models_base
+
+__all__ = ['Logger', 'EarlyStopping', 'fit']
+
+
+class Logger(object):
+    """Accumulate per-batch metric dicts, aggregate and per-dataset (reference :16)."""
+
+    def __init__(self, n_datasets=1):
+        self.metrics = {}
+        self.n_datasets = n_datasets
+        dtype_strs = ['train', 'val', 'test', 'curr']
+        for dtype in dtype_strs:
+            self.metrics[dtype] = {}
+        self.metrics_by_dataset = []
+        if self.n_datasets > 1:
+            for dataset in range(self.n_datasets):
+                self.metrics_by_dataset.append({})
+                for dtype in dtype_strs:
+                    self.metrics_by_dataset[dataset][dtype] = {}
+
+    def reset_metrics(self, dtype):
+        for key in self.metrics[dtype].keys():
+            self.metrics[dtype][key] = 0
+        for m in self.metrics_by_dataset:
+            for key in m[dtype].keys():
+                m[dtype][key] = 0
+
+    def update_metrics(self, dtype, loss_dict, dataset=None):
+        metrics = {**loss_dict, 'batches': 1}
+        for key, val in metrics.items():
+            if key not in self.metrics[dtype]:
+                self.metrics[dtype][key] = 0
+            self.metrics[dtype][key] += val
+            if isinstance(dataset, int) and self.n_datasets > 1:
+                if key not in self.metrics_by_dataset[dataset][dtype]:
+                    self.metrics_by_dataset[dataset][dtype][key] = 0
+                self.metrics_by_dataset[dataset][dtype][key] += val
+
+    def create_metric_row(self, dtype, epoch, batch, dataset, trial, best_epoch=None,
+                          by_dataset=False):
+        prefix = {'train': 'tr', 'val': 'val', 'test': 'test'}.get(dtype)
+        if prefix is None:
+            raise ValueError('%s is an invalid data type' % dtype)
+        metric_row = {'epoch': epoch, 'batch': batch, 'trial': trial}
+        if dtype == 'val':
+            metric_row['best_val_epoch'] = best_epoch
+        if by_dataset and self.n_datasets > 1:
+            norm = self.metrics_by_dataset[dataset][dtype]['batches']
+            for key, val in self.metrics_by_dataset[dataset][dtype].items():
+                if key == 'batches':
+                    continue
+                metric_row['%s_%s' % (prefix, key)] = float(val) / norm
+        else:
+            dataset = -1
+            norm = self.metrics[dtype]['batches']
+            for key, val in self.metrics[dtype].items():
+                if key == 'batches':
+                    continue
+                metric_row['%s_%s' % (prefix, key)] = float(val) / norm
+        metric_row['dataset'] = dataset
+        return metric_row
+
+    def get_loss(self, dtype):
+        return float(self.metrics[dtype]['loss']) / self.metrics[dtype]['batches']
+
+
+class EarlyStopping(object):
+    """Patience-based early stopping on best validation loss (reference :173)."""
+
+    def __init__(self, patience=10, min_epochs=10, delta=0):
+        self.patience = patience
+        self.min_epochs = min_epochs
+        self.delta = delta
+        self.counter = 0
+        self.best_epoch = 0
+        self.best_loss = np.inf
+        self.stopped_epoch = 0
+        self.should_stop = False
+
+    def on_val_check(self, epoch, curr_loss):
+        if curr_loss < self.best_loss - self.delta:
+            self.best_loss = curr_loss
+            self.best_epoch = epoch
+            self.counter = 0
+        else:
+            self.counter += 1
+        if epoch > self.min_epochs and self.counter >= self.patience:
+            print('\n== early stopping criteria met; exiting train loop ==')
+            print('training epochs: %d' % epoch)
+            print('end cost: %04f' % curr_loss)
+            print('best epoch: %i' % self.best_epoch)
+            print('best cost: %04f\n' % self.best_loss)
+            self.stopped_epoch = epoch
+            self.should_stop = True
+
+
+def _prepare_batch(sample, model_class, hparams):
+    """Map a generator sample dict to the model's device batch dict (host side).
+
+    Images remain uint8 here; normalization happens inside the jitted step.
+    """
+    batch = {}
+    for key in ('images', 'masks', 'labels', 'labels_sc', 'labels_masks'):
+        if key in sample:
+            batch[key] = sample[key]
+    if 'input_signal' in hparams and hparams.get('output_signal'):
+        ins, outs = hparams['input_signal'], hparams['output_signal']
+        if ins in sample and outs in sample and model_class not in (
+                'labels-images',):
+            batch = {'predictors': sample[ins], 'targets': sample[outs]}
+    return batch
+
+
+def _normalize_images(batch):
+    """uint8 images -> [0,1] float32 (device-side, traced)."""
+    out = dict(batch)
+    if 'images' in out and out['images'].dtype == jnp.uint8:
+        out['images'] = out['images'].astype(jnp.float32) / 255.0
+    if 'targets' in out and out['targets'].dtype == jnp.int32:
+        pass
+    return out
+
+
+def make_train_functions(model, hparams):
+    """Build (optimizer, jitted train_step, jitted eval_step) for a model."""
+    lr = hparams['learning_rate']
+    wd = hparams.get('l2_reg', 0) or 0
+
+    chain = []
+    if wd > 0:
+        if hasattr(model, 'trainable_mask'):
+            mask_fn = model.trainable_mask
+        else:
+            def mask_fn(params):
+                return jax.tree_util.tree_map(lambda _: True, params)
+        # torch Adam weight_decay semantics: l2 added to gradients *before*
+        # the moment updates (reference training.py:284-286)
+        chain.append(optax.add_decayed_weights(wd, mask=mask_fn))
+    chain.append(optax.amsgrad(lr))
+    tx = optax.chain(*chain)
+
+    def train_step(params, opt_state, rng, batch, loss_kwargs, dataset, seg_lens):
+        batch = _normalize_images(batch)
+        extra = {} if seg_lens is None else {'seg_lens': seg_lens}
+
+        def lf(p):
+            return model.loss_fn(p, batch, rng, dataset=dataset, **extra, **loss_kwargs)
+        (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    def eval_step(params, rng, batch, loss_kwargs, dataset, seg_lens):
+        batch = _normalize_images(batch)
+        extra = {} if seg_lens is None else {'seg_lens': seg_lens}
+        _, metrics = model.loss_fn(params, batch, rng, dataset=dataset, **extra, **loss_kwargs)
+        return metrics
+
+    train_step = jax.jit(train_step, static_argnames=('dataset', 'seg_lens'),
+                         donate_argnums=(0, 1))
+    eval_step = jax.jit(eval_step, static_argnames=('dataset', 'seg_lens'))
+    return tx, train_step, eval_step
+
+
+def _collate(data, dataset, model_class, hparams):
+    """Turn generator output into (batch, dataset_idx, seg_lens, trial_idx)."""
+    if isinstance(data, list):
+        # multi-session batch (MSPS-VAE): dataset-major concatenation
+        seg_lens = tuple(int(d['images'].shape[0]) for d in data)
+        batch = {}
+        for key in ('images', 'labels', 'masks', 'labels_masks'):
+            if key in data[0]:
+                batch[key] = np.concatenate([d[key] for d in data], axis=0)
+        trial = int(data[0]['batch_idx'])
+        return batch, dataset, seg_lens, trial
+    batch = _prepare_batch(data, model_class, hparams)
+    return batch, dataset, None, int(data['batch_idx'])
+
+
+def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
+    """Fit a model with SGD + early stopping, logging to the experiment store.
+
+    ``method`` in {'ae', 'nll', 'conv-decoder'} controls final exports
+    (reference training.py:244-461). ``warm_start``, if given, maps freshly
+    initialized params to warm-started ones (pretrained AE loading,
+    reference ae_grid_search.py:90).
+    """
+    params = model.init(jax.random.PRNGKey(hparams.get('rng_seed_model', 0)))
+    if warm_start is not None:
+        params = warm_start(params)
+    tx, train_step, eval_step = make_train_functions(model, hparams)
+    opt_state = tx.init(params)
+
+    logger = Logger(n_datasets=data_generator.n_datasets)
+
+    if hparams['enable_early_stop']:
+        early_stop = EarlyStopping(
+            patience=hparams['early_stop_history'], min_epochs=hparams['min_n_epochs'])
+    else:
+        early_stop = None
+
+    best_val_loss = np.inf
+    best_val_epoch = None
+    best_params = None
+    val_check_batch = np.append(
+        hparams['val_check_interval'] * data_generator.n_tot_batches['train'] *
+        np.arange(1, int((hparams['max_n_epochs'] + 1) / hparams['val_check_interval'])),
+        [data_generator.n_tot_batches['train'] * hparams['max_n_epochs'],
+         data_generator.n_tot_batches['train'] * (hparams['max_n_epochs'] + 1)]).astype('int')
+
+    if hparams.get('rng_seed_train', None) is None:
+        rng_train = np.random.randint(0, 10000)
+    else:
+        rng_train = int(hparams['rng_seed_train'])
+
+    expt_dir = os.path.join(hparams['expt_dir'], 'version_%i' % exp.version)
+    model_class = hparams['model_class']
+
+    def save_model(p, filepath):
+        if hasattr(model.__class__, 'create_orthogonal_matrix'):
+            # AEMSP refreshes its orthogonal completion at save time
+            # (reference aes.py:1062-1065)
+            p = model.__class__.create_orthogonal_matrix(p)
+        models_base.save_params(p, filepath, extra={'model_class': model_class})
+        return p
+
+    key = jax.random.PRNGKey(rng_train)
+
+    i_epoch = 0
+    best_model_saved = False
+    dataset = None
+    for i_epoch in range(hparams['max_n_epochs'] + 1):
+        # epoch 0 evaluates the randomly initialized model (reference :320-322)
+
+        np.random.seed(rng_train + i_epoch)  # restartable batching order
+        logger.reset_metrics('train')
+        data_generator.reset_iterators('train')
+        loss_kwargs = model.loss_kwargs(i_epoch) if hasattr(model, 'loss_kwargs') else {}
+
+        for i_train in range(data_generator.n_tot_batches['train']):
+            data, dataset = data_generator.next_batch('train')
+            if data is not None:
+                batch, ds, seg_lens, _ = _collate(data, dataset, model_class, hparams)
+                ds_idx = 0 if isinstance(ds, list) else ds
+                key, sub = jax.random.split(key)
+                if i_epoch > 0:
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, sub, batch, loss_kwargs, ds_idx, seg_lens)
+                else:
+                    metrics = eval_step(params, sub, batch, loss_kwargs, ds_idx, seg_lens)
+                logger.update_metrics('train', metrics, dataset=ds_idx)
+
+            if (i_train + 1) % data_generator.n_tot_batches['train'] == 0:
+                exp.log(logger.create_metric_row(
+                    'train', i_epoch, i_train, -1, trial=-1,
+                    by_dataset=False, best_epoch=best_val_epoch))
+                if data_generator.n_datasets > 1 and dataset is not None and \
+                        isinstance(dataset, int):
+                    for d in range(data_generator.n_datasets):
+                        exp.log(logger.create_metric_row(
+                            'train', i_epoch, i_train, d, trial=-1,
+                            by_dataset=True, best_epoch=best_val_epoch))
+                exp.save()
+
+            curr_batch = (i_train + 1) + i_epoch * data_generator.n_tot_batches['train']
+            if np.any(curr_batch == val_check_batch):
+                logger.reset_metrics('val')
+                data_generator.reset_iterators('val')
+                for _ in range(data_generator.n_tot_batches['val']):
+                    data, d_val = data_generator.next_batch('val')
+                    batch, ds, seg_lens, _ = _collate(data, d_val, model_class, hparams)
+                    ds_idx = 0 if isinstance(ds, list) else ds
+                    key, sub = jax.random.split(key)
+                    metrics = eval_step(params, sub, batch, loss_kwargs, ds_idx, seg_lens)
+                    logger.update_metrics('val', metrics, dataset=ds_idx)
+
+                if logger.get_loss('val') < best_val_loss:
+                    best_val_loss = logger.get_loss('val')
+                    params = save_model(params, os.path.join(expt_dir, 'best_val_model.pt'))
+                    best_model_saved = True
+                    # deep copy: train_step donates `params` buffers in place
+                    best_params = jax.tree_util.tree_map(
+                        lambda x: jnp.array(np.asarray(x)), params)
+                    best_val_epoch = i_epoch
+
+                exp.log(logger.create_metric_row(
+                    'val', i_epoch, i_train, -1, trial=-1,
+                    by_dataset=False, best_epoch=best_val_epoch))
+                if data_generator.n_datasets > 1 and isinstance(dataset, int):
+                    for d in range(data_generator.n_datasets):
+                        exp.log(logger.create_metric_row(
+                            'val', i_epoch, i_train, d, trial=-1,
+                            by_dataset=True, best_epoch=best_val_epoch))
+                exp.save()
+
+        if hparams['enable_early_stop']:
+            early_stop.on_val_check(i_epoch, logger.get_loss('val'))
+            if early_stop.should_stop:
+                break
+
+    if not best_model_saved:
+        params = save_model(params, os.path.join(expt_dir, 'best_val_model.pt'))
+        best_params = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), params)
+
+    if hparams.get('save_last_model', False):
+        save_model(params, os.path.join(expt_dir, 'last_model.pt'))
+
+    # test metrics, logged per trial (reference :435-447)
+    data_generator.reset_iterators('test')
+    loss_kwargs = model.loss_kwargs(i_epoch) if hasattr(model, 'loss_kwargs') else {}
+    for i_test in range(data_generator.n_tot_batches['test']):
+        data, dataset = data_generator.next_batch('test')
+        batch, ds, seg_lens, trial = _collate(data, dataset, model_class, hparams)
+        ds_idx = 0 if isinstance(ds, list) else ds
+        logger.reset_metrics('test')
+        key, sub = jax.random.split(key)
+        metrics = eval_step(best_params, sub, batch, loss_kwargs, ds_idx, seg_lens)
+        logger.update_metrics('test', metrics, dataset=ds_idx)
+        exp.log(logger.create_metric_row(
+            'test', i_epoch, i_test, ds_idx, trial=trial, by_dataset=True))
+    exp.save()
+
+    # exports
+    if method == 'ae' and hparams.get('export_latents', False):
+        print('exporting latents')
+        from behavenet_tpu.fitting.eval import export_latents
+        export_latents(data_generator, model, best_params,
+                       version=exp.version, expt_dir=hparams['expt_dir'])
+    elif method == 'nll' and hparams.get('export_predictions', False):
+        print('exporting predictions')
+        from behavenet_tpu.fitting.eval import export_predictions
+        export_predictions(data_generator, model, best_params,
+                           version=exp.version, expt_dir=hparams['expt_dir'])
+    elif method == 'conv-decoder' and hparams.get('export_predictions', False):
+        print('warning! exporting predictions not currently implemented for '
+              'convolutional decoder')
+
+    return best_params

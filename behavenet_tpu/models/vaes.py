@@ -361,8 +361,13 @@ class MSPSVAE(PSVAE):
         y_hat = base.diag_linear(params['encoder']['D'], z_s)
         return x_hat, z, mu, logvar, y_hat
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0):
-        """Batch is a concatenation of n_sessions_per_batch equal-length segments."""
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, seg_lens=None):
+        """Batch is a dataset-major concatenation of per-session trial segments.
+
+        ``seg_lens`` (static tuple of per-session row counts) drives the
+        triplet loss; when None the batch is treated as one session and the
+        triplet term is skipped (reference vaes.py:1039-1042).
+        """
         x = batch['images']
         y = batch['labels']
         m = batch.get('masks')
@@ -382,11 +387,12 @@ class MSPSVAE(PSVAE):
         loss = -loss_data_ll - alpha * loss_label_ll + loss_zs_kl \
             + kl * mi + beta * tc + kl * dwkl
 
-        n_sess = int(batch.get('n_sessions', self.hparams.get('n_sessions_per_batch', 2)))
-        seg_len = x.shape[0] // n_sess
-        loss_triplet = losses.triplet_loss(
-            rng_t, mu[:, n_labels:n_labels + n_bg], seg_len, n_sess)
-        loss = loss + delta * loss_triplet
+        if seg_lens is not None:
+            loss_triplet = losses.triplet_loss(
+                rng_t, mu[:, n_labels:n_labels + n_bg], seg_lens)
+            loss = loss + delta * loss_triplet
+        else:
+            loss_triplet = jnp.float32(0.0)
 
         n_dims = int(np.prod(x.shape[1:]))
         loss_data_mse = -(loss_data_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims

@@ -156,35 +156,37 @@ def _triplet_margin(anchor, positive, negative, margin=1.0):
     return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
 
 
-def triplet_loss(key, z, segment_len, n_datasets, margin=1.0):
+def triplet_loss(key, z, seg_lens, margin=1.0):
     """Triplet loss separating per-session embedding clusters.
 
     TPU-native restructuring of the reference's hand-enumerated chunk
-    triplets (losses.py:402-511): the batch is assumed to be a concatenation
-    of ``n_datasets`` equal-length segments of ``segment_len`` rows each (the
-    multi-session batch server guarantees this by bucketing); each segment is
-    randomly permuted with the given PRNG key and split into the same chunk
-    pattern as the reference (3/6/9 chunks for 2/3/4 datasets).
+    triplets (losses.py:402-511): the batch is a concatenation of
+    ``len(seg_lens)`` per-session segments (dataset-major); each segment is
+    randomly permuted with the given PRNG key and split into the same
+    interleaved chunk pattern as the reference (3/6/9 chunks for 2/3/4
+    datasets), truncated to the smallest per-dataset chunk length.
 
     Parameters
     ----------
     key : jax PRNG key
-    z : (n_datasets * segment_len, d) embeddings, dataset-major
-    segment_len : int (static)
-    n_datasets : int (static)
+    z : (sum(seg_lens), d) embeddings, dataset-major
+    seg_lens : tuple of int (static) — rows per dataset segment
     """
+    n_datasets = len(seg_lens)
     n_chunks = {2: 3, 3: 6, 4: 9}.get(n_datasets)
     if n_chunks is None:
         raise NotImplementedError('triplet loss supports 2-4 datasets')
-    m = segment_len // n_chunks
+    m = min(int(s) // n_chunks for s in seg_lens)
     if m == 0:
-        raise ValueError('segment_len %d too small for %d chunks' % (segment_len, n_chunks))
+        raise ValueError('segments %s too small for %d chunks' % (seg_lens, n_chunks))
 
     keys = jax.random.split(key, n_datasets)
     chunks = []  # chunks[ds][i] -> (m, d)
+    offset = 0
     for ds in range(n_datasets):
-        seg = z[ds * segment_len:(ds + 1) * segment_len]
-        perm = jax.random.permutation(keys[ds], segment_len)
+        seg = z[offset:offset + int(seg_lens[ds])]
+        offset += int(seg_lens[ds])
+        perm = jax.random.permutation(keys[ds], int(seg_lens[ds]))
         seg = seg[perm]
         chunks.append([seg[i::n_chunks][:m] for i in range(n_chunks)])
 

@@ -297,10 +297,9 @@ class TestMSPSVAE:
         batch = {
             'images': jnp.array(rs.rand(2 * seg, 32, 24, 1), dtype=jnp.float32),
             'labels': jnp.array(rs.randn(2 * seg, 4), dtype=jnp.float32),
-            'n_sessions': 2,
         }
         loss, metrics = model.loss_fn(params, batch, jax.random.PRNGKey(1),
-                                      **model.loss_kwargs(0))
+                                      seg_lens=(seg, seg), **model.loss_kwargs(0))
         assert np.isfinite(float(loss))
         assert 'loss_triplet' in metrics
 

@@ -114,7 +114,7 @@ class TestTripletLoss:
         for n_datasets in (2, 3, 4):
             seg = 36
             z = jnp.array(rng.randn(n_datasets * seg, 5).astype(np.float32))
-            val = np.asarray(losses.triplet_loss(key, z, seg, n_datasets))
+            val = np.asarray(losses.triplet_loss(key, z, (seg,) * n_datasets))
             assert np.isfinite(val)
             assert val.shape == ()
 
@@ -125,5 +125,5 @@ class TestTripletLoss:
         z0 = jnp.zeros((seg, 3))
         z1 = 100.0 + jnp.zeros((seg, 3))
         z = jnp.concatenate([z0, z1], axis=0)
-        val = np.asarray(losses.triplet_loss(key, z, seg, 2))
+        val = np.asarray(losses.triplet_loss(key, z, (seg, seg)))
         assert val < 1e-3
