@@ -1,0 +1,190 @@
+"""CLI: fit (AR)HMM segmentation models over a hyperparameter grid.
+
+Usage (identical to the reference behavenet/fitting/arhmm_grid_search.py):
+
+    python -m behavenet_tpu.fitting.arhmm_grid_search \
+        --data_config d.json --model_config m.json \
+        --training_config t.json --compute_config c.json
+
+The ssm dependency is replaced by the in-repo JAX engine
+(:mod:`behavenet_tpu.models.arhmm`), with identical behavior: epoch-0 eval
+of the initialized model, one-EM-iteration epochs with per-epoch train/val
+negative log-likelihood logging, relative-tolerance early stopping, per-trial
+test LLs, usage-sorted state permutation, and a pickled model in
+``best_val_model.pt``.
+"""
+
+import os
+import pickle
+
+import numpy as np
+
+from behavenet_tpu.data.utils import build_data_generator
+from behavenet_tpu.fitting.eval import export_states, export_train_plots
+from behavenet_tpu.fitting.experiment import (
+    _clean_dir, create_experiment, export_hparams)
+from behavenet_tpu.fitting.hyperparams import get_all_params, print_hparams, run_grid_search
+from behavenet_tpu.models.arhmm import ARHMM
+from behavenet_tpu.plotting.arhmm_utils import get_latent_arrays_by_dtype
+
+
+def main(hparams, *args):
+    """Fit one ARHMM grid trial (reference arhmm_grid_search.py:20-234)."""
+    if not isinstance(hparams, dict):
+        hparams = vars(hparams)
+
+    if hparams['transitions'] == 'sticky' and hparams['kappa'] == 0:
+        print('Cannot fit sticky transitions with kappa=0! Aborting fit')
+        return
+    if hparams['transitions'] != 'sticky' and hparams['kappa'] > 0:
+        print('Cannot fit %s transitions with kappa>0! Aborting fit' % hparams['transitions'])
+        return
+
+    print_hparams(hparams)
+
+    hparams, sess_ids, exp = create_experiment(hparams)
+    if hparams is None:
+        print('Experiment exists! Aborting fit')
+        return
+
+    data_generator = build_data_generator(hparams, sess_ids)
+
+    # collect all observations into memory
+    n_datasets = len(data_generator)
+    print('collecting observations from data generator...', end='')
+    data_key = 'ae_latents'
+    if hparams['model_class'].find('labels') > -1:
+        data_key = 'labels'
+    latents, trial_idxs = get_latent_arrays_by_dtype(
+        data_generator, sess_idxs=list(range(n_datasets)), data_key=data_key)
+    obs_dim = latents['train'][0].shape[1]
+    hparams['total_train_length'] = int(np.sum([z.shape[0] for z in latents['train']]))
+    latents_sess = {d: None for d in range(n_datasets)}
+    trial_idxs_sess = {d: None for d in range(n_datasets)}
+    for d in range(n_datasets):
+        latents_sess[d], trial_idxs_sess[d] = get_latent_arrays_by_dtype(
+            data_generator, sess_idxs=d, data_key=data_key)
+    print('done')
+
+    if hparams['model_class'] in ('arhmm', 'hmm'):
+        hparams['ae_model_path'] = os.path.dirname(
+            data_generator.datasets[0].paths['ae_latents'])
+        hparams['ae_model_latents_file'] = data_generator.datasets[0].paths['ae_latents']
+
+    if hparams['n_arhmm_lags'] > 0:
+        if hparams['model_class'][:5] != 'arhmm':
+            raise ValueError('Must specify model_class as arhmm when using AR lags')
+    else:
+        if hparams['model_class'][:3] != 'hmm':
+            raise ValueError('Must specify model_class as hmm when using 0 AR lags')
+
+    # observation model string (reference :84-105)
+    if hparams['noise_type'] == 'gaussian':
+        obs_type = 'ar' if hparams['n_arhmm_lags'] > 0 else 'gaussian'
+    elif hparams['noise_type'] == 'studentst':
+        obs_type = 'robust_ar' if hparams['n_arhmm_lags'] > 0 else 'studentst'
+    elif hparams['noise_type'] == 'diagonal_gaussian':
+        obs_type = 'diagonal_ar' if hparams['n_arhmm_lags'] > 0 else 'diagonal_gaussian'
+    elif hparams['noise_type'] == 'diagonal_studentst':
+        obs_type = 'diagonal_robust_ar' if hparams['n_arhmm_lags'] > 0 \
+            else 'diagonal_studentst'
+    else:
+        raise ValueError('%s is not a valid noise type' % hparams['noise_type'])
+
+    if hparams['transitions'] not in ('stationary', 'standard', 'sticky', 'recurrent',
+                                      'recurrent_only'):
+        raise ValueError('%s is not a valid transition type' % hparams['transitions'])
+    transitions = 'stationary' if hparams['transitions'] == 'standard' \
+        else hparams['transitions']
+
+    print('constructing model...', end='')
+    np.random.seed(hparams['rng_seed_model'])
+    hmm = ARHMM(
+        hparams['n_arhmm_states'], obs_dim,
+        lags=hparams['n_arhmm_lags'], observations=obs_type,
+        transitions=transitions, kappa=hparams.get('kappa', 0),
+        rng_seed=hparams['rng_seed_model'])
+    hmm.initialize(latents['train'], localize=hparams['n_arhmm_lags'] > 0)
+    hparams['training_completed'] = False
+    export_hparams(hparams, exp)
+    hmm.hparams = hparams
+    print('done')
+
+    # precompute normalizers
+    n_datapoints = {}
+    n_datapoints_sess = {}
+    for dtype in ('train', 'val', 'test'):
+        n_datapoints[dtype] = int(np.vstack(latents[dtype]).size)
+        n_datapoints_sess[dtype] = {}
+        for d in range(n_datasets):
+            n_datapoints_sess[dtype][d] = int(np.vstack(latents_sess[d][dtype]).size)
+
+    val_ll_prev = np.inf
+    tolerance = hparams.get('arhmm_es_tol', 0)
+    epoch = 0
+    for epoch in range(hparams['n_iters'] + 1):
+        # epoch 0 evaluates the initialized model (reference :164-168)
+        print('epoch %03i/%03i' % (epoch, hparams['n_iters']))
+        if epoch > 0:
+            hmm.fit(latents['train'], method='em', num_iters=1, initialize=False)
+
+        tr_ll = -hmm.log_likelihood(latents['train']) / n_datapoints['train']
+        val_ll = -hmm.log_likelihood(latents['val']) / n_datapoints['val']
+        exp.log({
+            'epoch': epoch, 'dataset': -1, 'tr_loss': tr_ll, 'val_loss': val_ll, 'trial': -1})
+
+        for d in range(data_generator.n_datasets):
+            tr_ll_d = -hmm.log_likelihood(latents_sess[d]['train']) / \
+                n_datapoints_sess['train'][d]
+            val_ll_d = -hmm.log_likelihood(latents_sess[d]['val']) / \
+                n_datapoints_sess['val'][d]
+            exp.log({
+                'epoch': epoch, 'dataset': d, 'tr_loss': tr_ll_d, 'val_loss': val_ll_d,
+                'trial': -1})
+
+        if epoch > 10 and np.abs((val_ll - val_ll_prev) / val_ll) < tolerance:
+            print('relative change less than tolerance=%1.2f; training terminating!'
+                  % tolerance)
+            break
+        val_ll_prev = val_ll
+
+    # per-trial test LLs
+    for d in range(n_datasets):
+        for i, b in enumerate(trial_idxs_sess[d]['test']):
+            n = latents_sess[d]['test'][i].size
+            test_ll = -hmm.log_likelihood(latents_sess[d]['test'][i]) / n
+            exp.log({'epoch': epoch, 'dataset': d, 'test_loss': test_ll, 'trial': int(b)})
+    exp.save()
+
+    # usage-sort states (reference :200-204)
+    zs = [hmm.most_likely_states(x) for x in latents['train']]
+    usage = np.bincount(np.concatenate(zs), minlength=hmm.K)
+    perm = np.argsort(usage)[::-1]
+    hmm.permute(perm)
+
+    filepath = os.path.join(
+        hparams['expt_dir'], 'version_%i' % exp.version, 'best_val_model.pt')
+    with open(filepath, 'wb') as f:
+        pickle.dump(hmm, f)
+
+    if hparams.get('export_states', False):
+        export_states(hparams, data_generator, hmm)
+
+    if hparams.get('export_train_plots', False):
+        print('creating training plots...', end='')
+        version_dir = os.path.join(hparams['expt_dir'], 'version_%i' % hparams['version'])
+        save_file = os.path.join(version_dir, 'loss_training')
+        export_train_plots(hparams, 'train', loss_type='ll', save_file=save_file)
+        save_file = os.path.join(version_dir, 'loss_validation')
+        export_train_plots(hparams, 'val', loss_type='ll', save_file=save_file)
+        print('done')
+
+    hparams['training_completed'] = True
+    export_hparams(hparams, exp)
+
+    _clean_dir(hparams)
+
+
+if __name__ == '__main__':
+    hyperparams = get_all_params('grid_search')
+    run_grid_search(main, hyperparams)

@@ -1,0 +1,474 @@
+"""(AR)HMM segmentation engine: vectorized likelihoods + EM in pure JAX.
+
+This replaces the external ``ssm`` package the reference delegates to
+(behavenet/fitting/arhmm_grid_search.py:132-137). Supported configurations
+mirror the reference's noise_type x lags mapping (:84-105):
+
+==================  ====================================================
+obs type            model
+==================  ====================================================
+'gaussian'          x_t | z=k ~ N(mu_k, Sigma_k)                (lags=0)
+'ar'                x_t | z=k ~ N(sum_l A_kl x_{t-l} + b_k, Sigma_k)
+'diagonal_*'        diagonal covariance variants
+'studentst'/        Student's t emission / AR noise (scale-mixture EM)
+'robust_ar'
+==================  ====================================================
+
+Transitions: 'stationary', 'sticky' (kappa), 'recurrent',
+'recurrent_only' (:115-128).
+
+TPU-native design: trials are padded to a common length with masks; the
+E-step is :mod:`behavenet_tpu.ops.hmm` forward-backward vmapped over the
+trial axis; M-steps are closed-form batched least squares (MXU einsums) for
+AR/Gaussian parameters and a short in-jit Adam loop for recurrent
+transition parameters. One full EM iteration compiles to a single XLA
+program.
+
+Conventions matching ssm: the first ``lags`` frames of each trial are
+scored under a fixed N(0, I) initial condition for every state (ssm's
+mu_init/Sigmas_init are not learned), and the AR regression only uses rows
+with a full lag history.
+"""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+from behavenet_tpu.ops import hmm as hmm_ops
+
+__all__ = ['ARHMM']
+
+LN2PI = float(np.log(2 * np.pi))
+
+
+def _pad_datas(datas):
+    """List of (T_i, D) -> (stacked (N, Tmax, D), mask (N, Tmax))."""
+    datas = [np.asarray(d, dtype=np.float32) for d in datas]
+    Tmax = max(d.shape[0] for d in datas)
+    D = datas[0].shape[1]
+    out = np.zeros((len(datas), Tmax, D), dtype=np.float32)
+    mask = np.zeros((len(datas), Tmax), dtype=np.float32)
+    for i, d in enumerate(datas):
+        out[i, :d.shape[0]] = d
+        mask[i, :d.shape[0]] = 1.0
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+def _make_lagged(x, lags):
+    """(T, D) -> design rows (T, D*lags) of [x_{t-1}, ..., x_{t-lags}] (zero-padded)."""
+    feats = [jnp.roll(x, l, axis=0) for l in range(1, lags + 1)]
+    X = jnp.concatenate(feats, axis=1)
+    # rows t < lags have wrapped history; they are masked out of the AR
+    # regression and scored by the N(0, I) initial condition
+    return X
+
+
+class ARHMM:
+    """(AR)HMM with EM fitting; API mirrors ssm.HMM where the reference uses it."""
+
+    def __init__(self, K, D, lags=1, observations='ar', transitions='stationary',
+                 kappa=0.0, nu=4.0, rng_seed=0):
+        if observations not in ('ar', 'gaussian', 'diagonal_ar', 'diagonal_gaussian',
+                                'robust_ar', 'studentst', 'diagonal_robust_ar',
+                                'diagonal_studentst'):
+            raise ValueError('"%s" is an invalid observation type' % observations)
+        if transitions not in ('stationary', 'sticky', 'recurrent', 'recurrent_only'):
+            raise ValueError('"%s" is an invalid transition type' % transitions)
+        self.K = int(K)
+        self.D = int(D)
+        self.observations = observations
+        self.transitions = transitions
+        self.kappa = float(kappa)
+        self.rng_seed = rng_seed
+        self.autoregressive = 'ar' in observations.split('_') or observations.endswith('ar')
+        self.lags = int(lags) if self.autoregressive else 0
+        self.diagonal = observations.startswith('diagonal')
+        self.robust = 'robust' in observations or 'studentst' in observations
+
+        P = self.D * self.lags
+        rng = np.random.RandomState(rng_seed)
+        Ps = 0.95 * np.eye(K) + 0.05 * rng.rand(K, K)
+        Ps /= Ps.sum(axis=1, keepdims=True)
+        self.params = {
+            'log_pi0': jnp.asarray(np.log(np.ones(K) / K), dtype=jnp.float32),
+            'log_Ps': jnp.asarray(np.log(Ps), dtype=jnp.float32),
+            # AR weights [A_1 ... A_lags] (K, D, D*lags) and bias (K, D)
+            'As': jnp.asarray(
+                0.8 * np.tile(np.eye(self.D), (K, 1, self.lags))
+                if self.lags > 0 else np.zeros((K, self.D, max(P, 1))), dtype=jnp.float32),
+            'bs': jnp.asarray(0.01 * rng.randn(K, self.D), dtype=jnp.float32),
+            'Sigmas': jnp.asarray(np.tile(np.eye(self.D), (K, 1, 1)), dtype=jnp.float32),
+            'nus': jnp.full((K,), float(nu), dtype=jnp.float32),
+        }
+        if transitions in ('recurrent', 'recurrent_only'):
+            self.params['Rs'] = jnp.asarray(0.01 * rng.randn(K, self.D), dtype=jnp.float32)
+            self.params['r'] = jnp.zeros((K,), dtype=jnp.float32)
+
+        self._fit_step = None  # compiled EM step cache
+
+    # ------------------------------------------------------------------ io
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state['params'] = {k: np.asarray(v) for k, v in self.params.items()}
+        state['_fit_step'] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.params = {k: jnp.asarray(v) for k, v in self.params.items()}
+
+    def save(self, filepath):
+        with open(filepath, 'wb') as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(filepath):
+        with open(filepath, 'rb') as f:
+            return pickle.load(f)
+
+    # ------------------------------------------------------ likelihood core
+    def _log_likes(self, params, x, mask):
+        """Per-frame observation log-likelihoods (T, K)."""
+        T = x.shape[0]
+        K, D, lags = self.K, self.D, self.lags
+        if lags > 0:
+            X = _make_lagged(x, lags)  # (T, D*lags)
+            mus = jnp.einsum('kdp,tp->tkd', params['As'], X) + params['bs'][None]
+        else:
+            mus = jnp.broadcast_to(params['bs'][None], (T, K, D))
+        diff = x[:, None, :] - mus  # (T, K, D)
+
+        if self.diagonal:
+            var = jnp.clip(jnp.diagonal(params['Sigmas'], axis1=1, axis2=2), 1e-8)  # (K, D)
+            maha = jnp.sum(diff ** 2 / var[None], axis=2)
+            logdet = jnp.sum(jnp.log(var), axis=1)  # (K,)
+        else:
+            chol = jnp.linalg.cholesky(
+                params['Sigmas'] + 1e-8 * jnp.eye(D)[None])  # (K, D, D)
+            Linv = jax.vmap(lambda c: jax.scipy.linalg.solve_triangular(
+                c, jnp.eye(D), lower=True))(chol)  # (K, D, D)
+            sol = jnp.einsum('kde,tke->tkd', Linv, diff)
+            maha = jnp.sum(sol ** 2, axis=2)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)
+
+        if self.robust:
+            nus = jnp.clip(params['nus'], 1e-2)  # (K,)
+            ll = (gammaln(0.5 * (nus + D)) - gammaln(0.5 * nus)
+                  - 0.5 * D * jnp.log(nus * jnp.pi) - 0.5 * logdet)[None] \
+                - 0.5 * (nus + D)[None] * jnp.log1p(maha / nus[None])
+        else:
+            ll = -0.5 * (D * LN2PI + logdet[None] + maha)
+
+        if lags > 0:
+            # first `lags` frames: fixed N(0, I) initial condition (all states)
+            init_ll = -0.5 * (D * LN2PI + jnp.sum(x ** 2, axis=1))  # (T,)
+            t_idx = jnp.arange(T)
+            ll = jnp.where((t_idx < lags)[:, None], init_ll[:, None], ll)
+        return ll * mask[:, None]
+
+    def _log_P(self, params, x, mask):
+        """Transition log-probs: (K,K) stationary or (T-1,K,K) recurrent."""
+        if self.transitions in ('stationary', 'sticky'):
+            return jax.nn.log_softmax(params['log_Ps'], axis=1)
+        # input-driven: logits at step t->t+1 depend on x_t
+        drive = jnp.einsum('kd,td->tk', params['Rs'], x[:-1])  # (T-1, K)
+        if self.transitions == 'recurrent':
+            logits = params['log_Ps'][None] + drive[:, None, :]
+        else:  # recurrent_only: no base matrix
+            logits = jnp.broadcast_to(
+                (drive + params['r'][None])[:, None, :],
+                (x.shape[0] - 1, self.K, self.K))
+        return jax.nn.log_softmax(logits, axis=2)
+
+    # ------------------------------------------------------------- public api
+    def log_likelihood(self, datas):
+        """Total log-likelihood of a trial or list of trials (ssm.HMM API)."""
+        if not isinstance(datas, (list, tuple)):
+            datas = [datas]
+        x, mask = _pad_datas(datas)
+        return float(self._batch_ll(self.params, x, mask))
+
+    def _batch_ll(self, params, x, mask):
+        def one(xi, mi):
+            ll = self._log_likes(params, xi, mi)
+            lp = self._log_P(params, xi, mi)
+            _, log_Z = hmm_ops.forward(params['log_pi0'], lp, ll, mi)
+            return log_Z
+        return jnp.sum(jax.vmap(one)(x, mask))
+
+    def most_likely_states(self, data):
+        """Viterbi path for one trial (T,) (ssm.HMM API)."""
+        x = jnp.asarray(np.asarray(data, dtype=np.float32))
+        mask = jnp.ones(x.shape[0], dtype=jnp.float32)
+        ll = self._log_likes(self.params, x, mask)
+        lp = self._log_P(self.params, x, mask)
+        return np.asarray(hmm_ops.viterbi(self.params['log_pi0'], lp, ll, mask))
+
+    def expected_states(self, data):
+        """Posterior marginals gamma (T, K) for one trial."""
+        x = jnp.asarray(np.asarray(data, dtype=np.float32))
+        mask = jnp.ones(x.shape[0], dtype=jnp.float32)
+        ll = self._log_likes(self.params, x, mask)
+        lp = self._log_P(self.params, x, mask)
+        gamma, _, _ = hmm_ops.forward_backward(self.params['log_pi0'], lp, ll, mask)
+        return np.asarray(gamma)
+
+    def permute(self, perm):
+        """Relabel states by ``perm`` (ssm.HMM API; usage-sorting in the CLI)."""
+        perm = np.asarray(perm)
+        p = self.params
+        new = dict(p)
+        new['log_pi0'] = p['log_pi0'][perm]
+        new['log_Ps'] = p['log_Ps'][np.ix_(perm, perm)]
+        for key in ('As', 'bs', 'Sigmas', 'nus'):
+            new[key] = p[key][perm]
+        if 'Rs' in p:
+            new['Rs'] = p['Rs'][perm]
+            new['r'] = p['r'][perm]
+        self.params = new
+
+    def sample(self, T, key=None, prefix=None, with_noise=True):
+        """Sample (states, observations) of length T from the generative model."""
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        k_z, k_x = jax.random.split(key)
+        lp = jax.nn.log_softmax(self.params['log_Ps'], axis=1)
+        # note: for recurrent transitions this samples from the base matrix
+        zs = hmm_ops.sample_states(k_z, self.params['log_pi0'], lp, T)
+        xs = self.sample_x(zs, key=k_x, prefix=prefix, with_noise=with_noise)
+        return np.asarray(zs), xs
+
+    def sample_x(self, states, key=None, prefix=None, with_noise=True):
+        """Sample observations conditioned on a state sequence (ssm-like sample_x)."""
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        states = np.asarray(states)
+        T = len(states)
+        D, lags = self.D, self.lags
+        As = np.asarray(self.params['As'])
+        bs = np.asarray(self.params['bs'])
+        Sigmas = np.asarray(self.params['Sigmas'])
+        chols = np.linalg.cholesky(Sigmas + 1e-8 * np.eye(D))
+        noise = np.asarray(jax.random.normal(key, (T, D)))
+        xs = np.zeros((T, D), dtype=np.float32)
+        hist = [] if prefix is None else [np.asarray(p) for p in prefix]
+        for t in range(T):
+            k = states[t]
+            if lags > 0:
+                mu = bs[k].copy()
+                for l in range(1, lags + 1):
+                    if t - l >= 0:
+                        x_lag = xs[t - l]
+                    elif len(hist) >= l - t:
+                        x_lag = hist[-(l - t)]
+                    else:
+                        x_lag = np.zeros(D)
+                    mu += As[k][:, (l - 1) * D:l * D] @ x_lag
+            else:
+                mu = bs[k]
+            xs[t] = mu + (chols[k] @ noise[t] if with_noise else 0.0)
+        return xs
+
+    # ------------------------------------------------------------------- EM
+    def initialize(self, datas, localize=True):
+        """ssm-style initialization: k-means clusters -> per-cluster (AR) fits."""
+        from sklearn.cluster import KMeans
+        stacked = np.vstack([np.asarray(d) for d in datas]).astype(np.float64)
+        km = KMeans(self.K, n_init=10, random_state=self.rng_seed).fit(stacked)
+        labels = km.labels_
+        D, lags, K = self.D, self.lags, self.K
+
+        bs = np.zeros((K, D))
+        As = np.zeros((K, D, max(D * lags, 1)))
+        Sigmas = np.tile(np.eye(D), (K, 1, 1))
+
+        if lags == 0:
+            for k in range(K):
+                pts = stacked[labels == k]
+                if len(pts) > 1:
+                    bs[k] = pts.mean(axis=0)
+                    Sigmas[k] = np.cov(pts.T) + 1e-4 * np.eye(D)
+        else:
+            # localize: fit AR params per k-means cluster (ssm localize=True)
+            offset = 0
+            Xs, Ys, Ls = [], [], []
+            for d in datas:
+                d = np.asarray(d)
+                T = d.shape[0]
+                if T <= lags:
+                    offset += T
+                    continue
+                feats = np.concatenate(
+                    [d[lags - l:T - l] for l in range(1, lags + 1)], axis=1)
+                Xs.append(np.concatenate([feats, np.ones((T - lags, 1))], axis=1))
+                Ys.append(d[lags:])
+                Ls.append(labels[offset + lags:offset + T])
+                offset += T
+            X = np.vstack(Xs)
+            Y = np.vstack(Ys)
+            L = np.concatenate(Ls)
+            for k in range(K):
+                sel = (L == k) if localize else np.ones(len(L), dtype=bool)
+                if sel.sum() < D * lags + 1:
+                    sel = np.ones(len(L), dtype=bool)
+                Xk, Yk = X[sel], Y[sel]
+                beta = np.linalg.lstsq(
+                    Xk.T @ Xk + 1e-4 * np.eye(Xk.shape[1]), Xk.T @ Yk, rcond=None)[0]
+                As[k] = beta[:-1].T
+                bs[k] = beta[-1]
+                resid = Yk - Xk @ beta
+                Sigmas[k] = (resid.T @ resid) / max(len(Yk), 1) + 1e-4 * np.eye(D)
+
+        self.params = dict(self.params)
+        self.params['As'] = jnp.asarray(As, dtype=jnp.float32)
+        self.params['bs'] = jnp.asarray(bs, dtype=jnp.float32)
+        self.params['Sigmas'] = jnp.asarray(Sigmas, dtype=jnp.float32)
+
+    def _em_step(self, params, x, mask):
+        """One full EM iteration on padded trials (N, T, D); fully jittable."""
+        K, D, lags = self.K, self.D, self.lags
+
+        # ---- E-step
+        def e_one(xi, mi):
+            ll = self._log_likes(params, xi, mi)
+            lp = self._log_P(params, xi, mi)
+            gamma, log_Z, xi_sum = hmm_ops.forward_backward(params['log_pi0'], lp, ll, mi)
+            return gamma, log_Z, xi_sum
+
+        gammas, log_Zs, xi_sums = jax.vmap(e_one)(x, mask)  # (N,T,K), (N,), (N,K,K)
+        total_ll = jnp.sum(log_Zs)
+
+        new = dict(params)
+
+        # ---- M-step: initial distribution
+        pi0 = jnp.mean(gammas[:, 0, :], axis=0) + 1e-8
+        new['log_pi0'] = jnp.log(pi0 / jnp.sum(pi0))
+
+        # ---- M-step: transitions
+        if self.transitions in ('stationary', 'sticky'):
+            counts = jnp.sum(xi_sums, axis=0)  # (K, K)
+            if self.transitions == 'sticky':
+                counts = counts + self.kappa * jnp.eye(K)
+            counts = counts + 1e-8
+            new['log_Ps'] = jnp.log(counts / jnp.sum(counts, axis=1, keepdims=True))
+        else:
+            new = self._m_step_recurrent(new, params, x, mask)
+
+        # ---- M-step: observations (weighted least squares / weighted means)
+        w = gammas * mask[:, :, None]  # (N, T, K)
+        if self.robust:
+            # scale-mixture weights tau = E[precision scale | data]
+            w = w * self._tau_weights(params, x, mask)
+        if lags > 0:
+            # exclude frames without a full lag history
+            t_idx = jnp.arange(x.shape[1])
+            w = w * (t_idx >= lags)[None, :, None]
+            feats = jax.vmap(lambda xi: _make_lagged(xi, lags))(x)  # (N, T, D*lags)
+            Xd = jnp.concatenate([feats, jnp.ones(x.shape[:2] + (1,))], axis=2)
+        else:
+            Xd = jnp.ones(x.shape[:2] + (1,))
+        Pdim = Xd.shape[2]
+        Xf = Xd.reshape(-1, Pdim)
+        Yf = x.reshape(-1, D)
+        Wf = w.reshape(-1, K)
+
+        XtWX = jnp.einsum('np,nk,nq->kpq', Xf, Wf, Xf)  # (K, P, P)
+        XtWY = jnp.einsum('np,nk,nd->kpd', Xf, Wf, Yf)  # (K, P, D)
+        reg = 1e-4 * jnp.eye(Pdim)
+        beta = jnp.linalg.solve(XtWX + reg[None], XtWY)  # (K, P, D)
+        if lags > 0:
+            new['As'] = jnp.transpose(beta[:, :-1, :], (0, 2, 1))  # (K, D, D*lags)
+        new['bs'] = beta[:, -1, :]
+
+        resid = Yf[:, None, :] - jnp.einsum('np,kpd->nkd', Xf, beta)  # (N*, K, D)
+        # covariance weights use gamma only (not tau-scaled denominators twice)
+        wsum = jnp.sum(Wf, axis=0)  # (K,)
+        if self.diagonal:
+            var = jnp.einsum('nk,nkd->kd', Wf, resid ** 2) / \
+                jnp.clip(wsum[:, None], 1e-8) + 1e-6
+            new['Sigmas'] = jax.vmap(jnp.diag)(var)
+        else:
+            Sig = jnp.einsum('nk,nkd,nke->kde', Wf, resid, resid) / \
+                jnp.clip(wsum[:, None, None], 1e-8)
+            new['Sigmas'] = Sig + 1e-6 * jnp.eye(D)[None]
+
+        return new, total_ll
+
+    def _tau_weights(self, params, x, mask):
+        """E[tau] for Student's t scale-mixture EM: (N, T, K)."""
+        K, D, lags = self.K, self.D, self.lags
+
+        def one(xi):
+            if lags > 0:
+                X = _make_lagged(xi, lags)
+                mus = jnp.einsum('kdp,tp->tkd', params['As'], X) + params['bs'][None]
+            else:
+                mus = jnp.broadcast_to(params['bs'][None], (xi.shape[0], K, D))
+            diff = xi[:, None, :] - mus
+            if self.diagonal:
+                var = jnp.clip(jnp.diagonal(params['Sigmas'], axis1=1, axis2=2), 1e-8)
+                maha = jnp.sum(diff ** 2 / var[None], axis=2)
+            else:
+                chol = jnp.linalg.cholesky(params['Sigmas'] + 1e-8 * jnp.eye(D)[None])
+                Linv = jax.vmap(lambda c: jax.scipy.linalg.solve_triangular(
+                    c, jnp.eye(D), lower=True))(chol)
+                sol = jnp.einsum('kde,tke->tkd', Linv, diff)
+                maha = jnp.sum(sol ** 2, axis=2)
+            nus = jnp.clip(params['nus'], 1e-2)
+            return (nus[None] + D) / (nus[None] + maha)
+
+        return jax.vmap(one)(x)
+
+    def _m_step_recurrent(self, new, params, x, mask):
+        """Gradient M-step for input-driven transition parameters."""
+        import optax
+
+        def objective(trans_params):
+            p = dict(params)
+            p.update(trans_params)
+
+            def one(xi, mi):
+                ll = self._log_likes(params, xi, mi)
+                lp_old = self._log_P(params, xi, mi)
+                xis = hmm_ops.expected_transitions(params['log_pi0'], lp_old, ll, mi)
+                lp_new = self._log_P(p, xi, mi)
+                lp_new = lp_new if lp_new.ndim == 3 else jnp.broadcast_to(
+                    lp_new[None], xis.shape)
+                return jnp.sum(xis * lp_new)
+
+            return -jnp.sum(jax.vmap(one)(x, mask))
+
+        trans = {'log_Ps': params['log_Ps'], 'Rs': params['Rs'], 'r': params['r']}
+        tx = optax.adam(1e-2)
+        opt_state = tx.init(trans)
+
+        def body(carry, _):
+            trans, opt_state = carry
+            grads = jax.grad(objective)(trans)
+            updates, opt_state = tx.update(grads, opt_state, trans)
+            trans = optax.apply_updates(trans, updates)
+            return (trans, opt_state), None
+
+        (trans, _), _ = jax.lax.scan(body, (trans, opt_state), None, length=25)
+        new.update(trans)
+        return new
+
+    def fit(self, datas, method='em', num_iters=1, initialize=False, tolerance=0.0):
+        """Run EM iterations (ssm.HMM.fit API subset). Returns per-iter lls."""
+        if method != 'em':
+            raise NotImplementedError('only EM fitting is supported')
+        if not isinstance(datas, (list, tuple)):
+            datas = [datas]
+        if initialize:
+            self.initialize(datas)
+        x, mask = _pad_datas(datas)
+        if self._fit_step is None:
+            self._fit_step = jax.jit(self._em_step)
+        lls = []
+        for _ in range(num_iters):
+            self.params, ll = self._fit_step(self.params, x, mask)
+            lls.append(float(ll))
+        return lls

@@ -38,13 +38,15 @@ def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None):
     pad_y, pad_x : (before, after) tuples
     """
     dtype = compute_dtype or x.dtype
+    # compute (and differentiate) uniformly in the compute dtype, then cast
+    # up: the MXU accumulates in f32 internally for bf16 convs, and keeping
+    # all conv operands one dtype keeps the VJP well-typed
     out = lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=(stride, stride),
         padding=(tuple(pad_y), tuple(pad_x)),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out
@@ -84,8 +86,7 @@ def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
                  (kw - 1 - px0, kw - 1 - px1 + opx)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out

@@ -1,0 +1,178 @@
+"""HMM message passing: log-space forward-backward, Viterbi, sampling (JAX).
+
+This is the TPU-native replacement for the external ``ssm`` package's E-step
+(reference delegates the whole ARHMM to ssm.HMM — behavenet/fitting/
+arhmm_grid_search.py:132-137; docs/installation.rst:59-69 installs the
+no-cython branch). All recursions are ``lax.scan`` over time with the state
+dimension K vectorized; trials are padded to a common length and masked, and
+the EM driver vmaps these kernels over the trial axis so the whole E-step is
+one fused XLA program.
+
+Conventions
+-----------
+- ``log_pi0``: (K,) initial state log-probs
+- ``log_P``: (K, K) transition log-probs, rows = from-state (stationary), or
+  (T-1, K, K) for time/input-dependent transitions
+- ``log_lik``: (T, K) per-frame observation log-likelihoods
+- ``mask``: (T,) float/bool; padded frames contribute nothing
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import logsumexp
+
+__all__ = ['forward', 'backward', 'forward_backward', 'viterbi', 'sample_states',
+           'expected_transitions']
+
+
+def _get_log_P(log_P, t):
+    """Support stationary (K,K) and time-varying (T-1,K,K) transitions."""
+    if log_P.ndim == 2:
+        return log_P
+    return log_P[t]
+
+
+def forward(log_pi0, log_P, log_lik, mask=None):
+    """Forward (alpha) recursion in log space.
+
+    Returns (log_alpha (T,K), log_normalizer scalar).
+    """
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+
+    alpha0 = log_pi0 + log_lik[0] * mask[0]
+
+    def step(carry, t):
+        alpha_prev = carry
+        lp = _get_log_P(log_P, t - 1)
+        a = logsumexp(alpha_prev[:, None] + lp, axis=0) + log_lik[t] * mask[t]
+        # padded frame: carry forward unchanged (no observation, no transition)
+        a = jnp.where(mask[t] > 0, a, alpha_prev)
+        return a, a
+
+    _, alphas = lax.scan(step, alpha0, jnp.arange(1, T))
+    log_alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+    log_Z = logsumexp(log_alpha[-1])
+    return log_alpha, log_Z
+
+
+def backward(log_P, log_lik, mask=None):
+    """Backward (beta) recursion in log space. Returns log_beta (T,K)."""
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+
+    beta_T = jnp.zeros(K, dtype=log_lik.dtype)
+
+    def step(carry, t):
+        beta_next = carry
+        lp = _get_log_P(log_P, t)
+        b = logsumexp(lp + (log_lik[t + 1] * mask[t + 1] + beta_next)[None, :], axis=1)
+        b = jnp.where(mask[t + 1] > 0, b, beta_next)
+        return b, b
+
+    _, betas = lax.scan(step, beta_T, jnp.arange(T - 2, -1, -1))
+    log_beta = jnp.concatenate([betas[::-1], beta_T[None]], axis=0)
+    return log_beta
+
+
+def forward_backward(log_pi0, log_P, log_lik, mask=None):
+    """Posterior state marginals and expected transitions.
+
+    Returns
+    -------
+    (gamma (T,K), log_Z, xi_sum (K,K)): ``gamma`` are posterior marginals
+    p(z_t | x); ``xi_sum`` is the sum over t of pairwise posteriors
+    p(z_t, z_{t+1} | x) (masked), which is the sufficient statistic for the
+    transition M-step.
+    """
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+
+    log_alpha, log_Z = forward(log_pi0, log_P, log_lik, mask)
+    log_beta = backward(log_P, log_lik, mask)
+
+    log_gamma = log_alpha + log_beta - log_Z
+    gamma = jnp.exp(log_gamma) * mask[:, None]
+
+    # pairwise marginals: xi_t(i,j) ∝ alpha_t(i) + logP(i,j) + loglik_{t+1}(j) + beta_{t+1}(j)
+    if log_P.ndim == 2:
+        lp = log_P[None, :, :]
+    else:
+        lp = log_P
+    log_xi = (log_alpha[:-1, :, None] + lp
+              + (log_lik[1:] * mask[1:, None] + log_beta[1:])[:, None, :]) - log_Z
+    pair_mask = (mask[:-1] * mask[1:])[:, None, None]
+    xi_sum = jnp.sum(jnp.exp(log_xi) * pair_mask, axis=0)
+    return gamma, log_Z, xi_sum
+
+
+def expected_transitions(log_pi0, log_P, log_lik, mask=None):
+    """Per-timestep pairwise posteriors (T-1, K, K) — for recurrent M-steps."""
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+    log_alpha, log_Z = forward(log_pi0, log_P, log_lik, mask)
+    log_beta = backward(log_P, log_lik, mask)
+    lp = log_P[None, :, :] if log_P.ndim == 2 else log_P
+    log_xi = (log_alpha[:-1, :, None] + lp
+              + (log_lik[1:] * mask[1:, None] + log_beta[1:])[:, None, :]) - log_Z
+    pair_mask = (mask[:-1] * mask[1:])[:, None, None]
+    return jnp.exp(log_xi) * pair_mask
+
+
+def viterbi(log_pi0, log_P, log_lik, mask=None):
+    """Most likely state sequence (T,) int32 via max-product + backtrace."""
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+
+    delta0 = log_pi0 + log_lik[0] * mask[0]
+
+    def fwd(carry, t):
+        delta_prev = carry
+        lp = _get_log_P(log_P, t - 1)
+        scores = delta_prev[:, None] + lp  # (from, to)
+        best_prev = jnp.argmax(scores, axis=0)
+        d = jnp.max(scores, axis=0) + log_lik[t] * mask[t]
+        d = jnp.where(mask[t] > 0, d, delta_prev)
+        best_prev = jnp.where(
+            mask[t] > 0, best_prev,
+            jax.lax.broadcasted_iota(jnp.int32, (K,), 0))  # identity backpointer when padded
+        return d, best_prev
+
+    delta_T, backptrs = lax.scan(fwd, delta0, jnp.arange(1, T))
+
+    z_T = jnp.argmax(delta_T).astype(jnp.int32)
+
+    def back(carry, ptrs_t):
+        z_next = carry
+        z = ptrs_t[z_next]
+        return z, z
+
+    _, zs = lax.scan(back, z_T, backptrs, reverse=True)
+    return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
+
+
+def sample_states(key, log_pi0, log_P, T):
+    """Sample a state sequence from the prior (no observations)."""
+    k0, k_scan = jax.random.split(key)
+    z0 = jax.random.categorical(k0, log_pi0)
+
+    def step(carry, key_t):
+        z_prev = carry
+        lp = log_P if log_P.ndim == 2 else log_P[0]
+        z = jax.random.categorical(key_t, lp[z_prev])
+        return z, z
+
+    keys = jax.random.split(k_scan, T - 1)
+    _, zs = lax.scan(step, z0, keys)
+    return jnp.concatenate([z0[None], zs], axis=0).astype(jnp.int32)

@@ -1,0 +1,183 @@
+"""ARHMM engine: EM convergence, segmentation recovery, API parity surface."""
+
+import numpy as np
+import pytest
+
+from behavenet_tpu.models.arhmm import ARHMM
+
+
+def make_gaussian_hmm_data(T=400, seed=0):
+    """Two well-separated gaussian states with sticky dynamics."""
+    rng = np.random.RandomState(seed)
+    mus = np.array([[-3.0, -3.0], [3.0, 3.0]])
+    z = np.zeros(T, dtype=int)
+    for t in range(1, T):
+        z[t] = z[t - 1] if rng.rand() < 0.95 else 1 - z[t - 1]
+    x = mus[z] + 0.5 * rng.randn(T, 2)
+    return x.astype(np.float32), z
+
+
+def make_ar_hmm_data(T=500, seed=0):
+    """Two AR(1) states with distinct dynamics."""
+    rng = np.random.RandomState(seed)
+    As = [0.95 * np.eye(2), np.array([[0.0, -0.9], [0.9, 0.0]])]
+    bs = [np.array([0.05, 0.0]), np.array([0.0, 0.0])]
+    z = np.zeros(T, dtype=int)
+    for t in range(1, T):
+        z[t] = z[t - 1] if rng.rand() < 0.97 else 1 - z[t - 1]
+    x = np.zeros((T, 2))
+    for t in range(1, T):
+        k = z[t]
+        x[t] = As[k] @ x[t - 1] + bs[k] + 0.1 * rng.randn(2)
+    return x.astype(np.float32), z
+
+
+def perm_accuracy(z_true, z_pred, K=2):
+    """Best accuracy over state relabelings."""
+    from itertools import permutations
+    best = 0.0
+    for perm in permutations(range(K)):
+        acc = np.mean(np.array([perm[z] for z in z_pred]) == z_true)
+        best = max(best, acc)
+    return best
+
+
+class TestGaussianHMM:
+
+    def test_em_increases_likelihood(self):
+        x, _ = make_gaussian_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=0, observations='gaussian', rng_seed=0)
+        hmm.initialize([x])
+        lls = []
+        for _ in range(10):
+            lls += hmm.fit([x], method='em', num_iters=1, initialize=False)
+        lls = np.array(lls)
+        assert (np.diff(lls) > -1e-2).all(), 'EM log-likelihood decreased: %s' % lls
+
+    def test_segmentation_recovery(self):
+        x, z_true = make_gaussian_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=0, observations='gaussian', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=20)
+        z_pred = hmm.most_likely_states(x)
+        assert perm_accuracy(z_true, z_pred) > 0.95
+
+    def test_multiple_variable_length_trials(self):
+        x1, _ = make_gaussian_hmm_data(T=200, seed=0)
+        x2, _ = make_gaussian_hmm_data(T=350, seed=1)
+        hmm = ARHMM(K=2, D=2, lags=0, observations='gaussian', rng_seed=0)
+        hmm.initialize([x1, x2])
+        lls = hmm.fit([x1, x2], num_iters=5)
+        assert np.isfinite(lls).all()
+        # total ll additive over trials at fixed params
+        ll_joint = hmm.log_likelihood([x1, x2])
+        ll_sep = hmm.log_likelihood(x1) + hmm.log_likelihood(x2)
+        assert np.allclose(ll_joint, ll_sep, rtol=1e-4)
+
+    def test_diagonal_variant(self):
+        x, z_true = make_gaussian_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=0, observations='diagonal_gaussian', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=15)
+        assert perm_accuracy(z_true, hmm.most_likely_states(x)) > 0.95
+
+    def test_studentst_variant(self):
+        x, z_true = make_gaussian_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=0, observations='studentst', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=15)
+        assert perm_accuracy(z_true, hmm.most_likely_states(x)) > 0.95
+
+
+class TestARHMM:
+
+    def test_ar_segmentation_recovery(self):
+        x, z_true = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x], localize=True)
+        hmm.fit([x], num_iters=25)
+        z_pred = hmm.most_likely_states(x)
+        assert perm_accuracy(z_true, z_pred) > 0.90
+
+    def test_ar_em_monotone(self):
+        x, _ = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        lls = np.array(hmm.fit([x], num_iters=10))
+        assert (np.diff(lls) > -1e-1).all(), lls
+
+    def test_ar2_lags(self):
+        x, _ = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=2, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        lls = hmm.fit([x], num_iters=3)
+        assert np.isfinite(lls).all()
+
+    def test_sticky_transitions_reduce_switches(self):
+        x, _ = make_ar_hmm_data(seed=3)
+        z_by_kappa = {}
+        for kappa in (0.0, 1e5):
+            hmm = ARHMM(K=2, D=2, lags=1, observations='ar',
+                        transitions='sticky' if kappa > 0 else 'stationary',
+                        kappa=kappa, rng_seed=0)
+            hmm.initialize([x])
+            hmm.fit([x], num_iters=10)
+            z = hmm.most_likely_states(x)
+            z_by_kappa[kappa] = int(np.sum(np.diff(z) != 0))
+        assert z_by_kappa[1e5] <= z_by_kappa[0.0]
+
+    def test_recurrent_transitions_fit(self):
+        x, _ = make_ar_hmm_data()
+        for trans in ('recurrent', 'recurrent_only'):
+            hmm = ARHMM(K=2, D=2, lags=1, observations='ar', transitions=trans, rng_seed=0)
+            hmm.initialize([x])
+            lls = hmm.fit([x], num_iters=3)
+            assert np.isfinite(lls).all()
+            z = hmm.most_likely_states(x)
+            assert z.shape == (len(x),)
+
+    def test_permute(self):
+        x, _ = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=5)
+        ll_before = hmm.log_likelihood(x)
+        z_before = hmm.most_likely_states(x)
+        hmm.permute([1, 0])
+        ll_after = hmm.log_likelihood(x)
+        z_after = hmm.most_likely_states(x)
+        assert np.allclose(ll_before, ll_after, rtol=1e-4)
+        assert (np.asarray(z_after) == 1 - np.asarray(z_before)).all()
+
+    def test_pickle_roundtrip(self, tmpdir):
+        import pickle
+        x, _ = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=2)
+        path = str(tmpdir.join('best_val_model.pt'))
+        with open(path, 'wb') as f:
+            pickle.dump(hmm, f)
+        with open(path, 'rb') as f:
+            hmm2 = pickle.load(f)
+        assert np.allclose(hmm.log_likelihood(x), hmm2.log_likelihood(x), rtol=1e-5)
+        assert (hmm.most_likely_states(x) == hmm2.most_likely_states(x)).all()
+
+    def test_sample_roundtrip(self):
+        x, _ = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=10)
+        zs, xs = hmm.sample(100)
+        assert zs.shape == (100,)
+        assert xs.shape == (100, 2)
+        assert np.isfinite(xs).all()
+        # conditioned sampling
+        xs2 = hmm.sample_x(zs)
+        assert xs2.shape == (100, 2)
+
+    def test_invalid_args(self):
+        with pytest.raises(ValueError):
+            ARHMM(K=2, D=2, observations='bogus')
+        with pytest.raises(ValueError):
+            ARHMM(K=2, D=2, transitions='bogus')

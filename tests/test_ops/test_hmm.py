@@ -1,0 +1,123 @@
+"""HMM message passing verified against brute-force enumeration."""
+
+import itertools
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from behavenet_tpu.ops import hmm as hmm_ops
+
+
+def _brute_force(log_pi0, log_P, log_lik):
+    """Enumerate all state paths: returns (log_Z, gamma, best_path)."""
+    T, K = log_lik.shape
+    paths = list(itertools.product(range(K), repeat=T))
+    log_joints = []
+    for path in paths:
+        lj = log_pi0[path[0]] + log_lik[0, path[0]]
+        for t in range(1, T):
+            lj += log_P[path[t - 1], path[t]] + log_lik[t, path[t]]
+        log_joints.append(lj)
+    log_joints = np.array(log_joints)
+    log_Z = np.logaddexp.reduce(log_joints)
+    post = np.exp(log_joints - log_Z)
+    gamma = np.zeros((T, K))
+    for p, w in zip(paths, post):
+        for t, k in enumerate(p):
+            gamma[t, k] += w
+    best = np.array(paths[np.argmax(log_joints)])
+    return log_Z, gamma, best
+
+
+def _random_problem(T=6, K=3, seed=0):
+    rng = np.random.RandomState(seed)
+    log_pi0 = np.log(rng.dirichlet(np.ones(K)))
+    P = rng.dirichlet(np.ones(K), size=K)
+    log_lik = rng.randn(T, K).astype(np.float64)
+    return log_pi0.astype(np.float32), np.log(P).astype(np.float32), \
+        log_lik.astype(np.float32)
+
+
+class TestForwardBackward:
+
+    def test_log_normalizer_vs_brute_force(self):
+        for seed in range(3):
+            log_pi0, log_P, log_lik = _random_problem(seed=seed)
+            _, log_Z = hmm_ops.forward(
+                jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+            ref_Z, _, _ = _brute_force(log_pi0, log_P, log_lik)
+            assert np.allclose(float(log_Z), ref_Z, atol=1e-4)
+
+    def test_gamma_vs_brute_force(self):
+        log_pi0, log_P, log_lik = _random_problem(seed=1)
+        gamma, log_Z, xi_sum = hmm_ops.forward_backward(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+        ref_Z, ref_gamma, _ = _brute_force(log_pi0, log_P, log_lik)
+        assert np.allclose(np.asarray(gamma), ref_gamma, atol=1e-4)
+        # gamma rows sum to 1
+        assert np.allclose(np.asarray(gamma).sum(axis=1), 1.0, atol=1e-4)
+        # xi_sum totals T-1 transitions
+        assert np.allclose(float(np.asarray(xi_sum).sum()), log_lik.shape[0] - 1, atol=1e-3)
+
+    def test_viterbi_vs_brute_force(self):
+        for seed in range(3):
+            log_pi0, log_P, log_lik = _random_problem(T=5, seed=seed)
+            path = hmm_ops.viterbi(
+                jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+            _, _, ref_path = _brute_force(log_pi0, log_P, log_lik)
+            assert (np.asarray(path) == ref_path).all()
+
+    def test_masking_equals_truncation(self):
+        """Padded+masked trial must give identical results to the short trial."""
+        log_pi0, log_P, log_lik = _random_problem(T=8, seed=2)
+        T_true = 5
+        mask = np.zeros(8, dtype=np.float32)
+        mask[:T_true] = 1
+        _, log_Z_pad = hmm_ops.forward(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik), jnp.array(mask))
+        _, log_Z_short = hmm_ops.forward(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik[:T_true]))
+        assert np.allclose(float(log_Z_pad), float(log_Z_short), atol=1e-4)
+
+        gamma_pad, _, xi_pad = hmm_ops.forward_backward(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik), jnp.array(mask))
+        gamma_short, _, xi_short = hmm_ops.forward_backward(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik[:T_true]))
+        assert np.allclose(np.asarray(gamma_pad)[:T_true], np.asarray(gamma_short), atol=1e-4)
+        assert np.allclose(np.asarray(gamma_pad)[T_true:], 0.0)
+        assert np.allclose(np.asarray(xi_pad), np.asarray(xi_short), atol=1e-4)
+
+    def test_time_varying_transitions(self):
+        T, K = 5, 2
+        rng = np.random.RandomState(3)
+        log_pi0 = np.log(rng.dirichlet(np.ones(K))).astype(np.float32)
+        Ps = rng.dirichlet(np.ones(K), size=(T - 1, K)).astype(np.float32)
+        log_P = np.log(Ps)
+        log_lik = rng.randn(T, K).astype(np.float32)
+        # brute force with time-varying transitions
+        paths = list(itertools.product(range(K), repeat=T))
+        ljs = []
+        for path in paths:
+            lj = log_pi0[path[0]] + log_lik[0, path[0]]
+            for t in range(1, T):
+                lj += log_P[t - 1, path[t - 1], path[t]] + log_lik[t, path[t]]
+            ljs.append(lj)
+        ref_Z = np.logaddexp.reduce(np.array(ljs))
+        _, log_Z = hmm_ops.forward(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+        assert np.allclose(float(log_Z), ref_Z, atol=1e-4)
+
+
+class TestSampling:
+
+    def test_sample_states_distribution(self):
+        import jax
+        K = 2
+        log_pi0 = jnp.log(jnp.array([0.9, 0.1]))
+        log_P = jnp.log(jnp.array([[0.95, 0.05], [0.05, 0.95]]))
+        zs = hmm_ops.sample_states(jax.random.PRNGKey(0), log_pi0, log_P, 2000)
+        zs = np.asarray(zs)
+        # sticky chain: few transitions
+        n_switches = int(np.sum(np.diff(zs) != 0))
+        assert n_switches < 300
+        assert set(np.unique(zs)) <= {0, 1}
