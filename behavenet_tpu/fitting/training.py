@@ -191,10 +191,35 @@ def make_train_functions(model, hparams):
     return tx, train_step, eval_step
 
 
+def _bucket_batch(batch, bucket):
+    """Pad the frame axis up to the next multiple of ``bucket``; add frame_mask.
+
+    Length-bucketing keeps the number of distinct compiled shapes small for
+    variable-length trials (XLA requires static shapes); the masked losses
+    reproduce the exact unpadded values.
+    """
+    n = next(iter(batch.values())).shape[0]
+    T = -(-n // bucket) * bucket
+    if T == n:
+        out = dict(batch)
+        out['frame_mask'] = np.ones(n, dtype=np.float32)
+        return out
+    out = {}
+    for key, val in batch.items():
+        arr = np.asarray(val)
+        pad_width = [(0, T - n)] + [(0, 0)] * (arr.ndim - 1)
+        out[key] = np.pad(arr, pad_width)
+    fm = np.zeros(T, dtype=np.float32)
+    fm[:n] = 1.0
+    out['frame_mask'] = fm
+    return out
+
+
 def _collate(data, dataset, model_class, hparams):
     """Turn generator output into (batch, dataset_idx, seg_lens, trial_idx)."""
     if isinstance(data, list):
-        # multi-session batch (MSPS-VAE): dataset-major concatenation
+        # multi-session batch (MSPS-VAE): dataset-major concatenation; served
+        # exact-shape (triplet chunking needs static per-segment lengths)
         seg_lens = tuple(int(d['images'].shape[0]) for d in data)
         batch = {}
         for key in ('images', 'labels', 'masks', 'labels_masks'):
@@ -203,6 +228,9 @@ def _collate(data, dataset, model_class, hparams):
         trial = int(data[0]['batch_idx'])
         return batch, dataset, seg_lens, trial
     batch = _prepare_batch(data, model_class, hparams)
+    bucket = hparams.get('shape_bucket', 32)
+    if bucket and hparams.get('noise_dist') != 'gaussian-full':
+        batch = _bucket_batch(batch, int(bucket))
     return batch, dataset, None, int(data['batch_idx'])
 
 

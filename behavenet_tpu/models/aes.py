@@ -29,11 +29,23 @@ __all__ = ['ConvEncoder', 'ConvDecoder', 'LinearEncoder', 'LinearDecoder',
            'AE', 'ConditionalAE', 'AEMSP', 'load_pretrained_ae', 'r2_score_vw']
 
 
-def r2_score_vw(y_true, y_pred):
-    """Variance-weighted multioutput R^2 (sklearn 'variance_weighted')."""
-    ss_res = jnp.sum((y_true - y_pred) ** 2, axis=0)
-    ss_tot = jnp.sum((y_true - jnp.mean(y_true, axis=0)) ** 2, axis=0)
-    return 1.0 - jnp.sum(ss_res) / jnp.maximum(jnp.sum(ss_tot), 1e-12)
+def r2_score_vw(y_true, y_pred, weights=None):
+    """Variance-weighted multioutput R^2 (sklearn 'variance_weighted').
+
+    ``weights`` (B,) or (B, L) restricts the score to valid rows/entries
+    (label masks and/or padded-frame masks).
+    """
+    if weights is None:
+        ss_res = jnp.sum((y_true - y_pred) ** 2, axis=0)
+        ss_tot = jnp.sum((y_true - jnp.mean(y_true, axis=0)) ** 2, axis=0)
+        return 1.0 - jnp.sum(ss_res) / jnp.maximum(jnp.sum(ss_tot), 1e-12)
+    if weights.ndim == 1:
+        weights = weights[:, None]
+    w = jnp.broadcast_to(weights, y_true.shape)
+    mu = jnp.sum(y_true * w, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-12)
+    ss_res = jnp.sum(((y_true - y_pred) ** 2) * w)
+    ss_tot = jnp.sum(((y_true - mu) ** 2) * w)
+    return 1.0 - ss_res / jnp.maximum(ss_tot, 1e-12)
 
 
 class ConvEncoder:
@@ -343,8 +355,9 @@ class AE(base.BaseModel):
     def loss_fn(self, params, batch, rng, dataset=0):
         x = batch['images']
         m = batch.get('masks')
+        fm = batch.get('frame_mask')
         y, _ = self.forward(params, x, dataset=dataset)
-        loss = losses.mse(y, x, m)
+        loss = losses.mse(y, x, m, frame_mask=fm)
         return loss, {'loss': loss}
 
 
@@ -373,10 +386,11 @@ class ConditionalAE(AE):
     def loss_fn(self, params, batch, rng, dataset=0):
         x = batch['images']
         m = batch.get('masks')
+        fm = batch.get('frame_mask')
         labels = batch['labels']
         labels_2d = batch.get('labels_sc')
         y, _ = self.forward(params, x, dataset=dataset, labels=labels, labels_2d=labels_2d)
-        loss = losses.mse(y, x, m)
+        loss = losses.mse(y, x, m, frame_mask=fm)
         return loss, {'loss': loss}
 
 
@@ -428,14 +442,15 @@ class AEMSP(AE):
         x = batch['images']
         y = batch['labels']
         m = batch.get('masks')
+        fm = batch.get('frame_mask')
         x_hat, z, y_hat = self.forward(params, x, dataset=dataset)
-        loss_mse = losses.mse(x_hat, x, m)
+        loss_mse = losses.mse(x_hat, x, m, frame_mask=fm)
         # back-projection: z ~= y_hat @ M (projection weight transposed back)
-        loss_msp = losses.mse(y_hat, y) + \
+        loss_msp = losses.mse(y_hat, y, frame_mask=fm) + \
             losses.mse(z, jnp.dot(y_hat, params['projection']['w'].T,
-                                  preferred_element_type=jnp.float32))
+                                  preferred_element_type=jnp.float32), frame_mask=fm)
         loss = loss_mse + self.hparams['msp.alpha'] * loss_msp
-        r2 = r2_score_vw(y, y_hat)
+        r2 = r2_score_vw(y, y_hat, weights=fm)
         return loss, {'loss': loss, 'loss_mse': loss_mse, 'loss_msp': loss_msp, 'labels_r2': r2}
 
     @staticmethod

@@ -109,6 +109,25 @@ class ARHMM:
 
         self._fit_step = None  # compiled EM step cache
 
+    # ---------------------------------------------------- convenience views
+    @property
+    def transition_matrix(self):
+        """Normalized (K, K) transition matrix (ssm-style accessor)."""
+        import jax
+        return np.asarray(jax.nn.softmax(self.params['log_Ps'], axis=1))
+
+    @property
+    def As(self):
+        return np.asarray(self.params['As'])
+
+    @property
+    def bs(self):
+        return np.asarray(self.params['bs'])
+
+    @property
+    def Sigmas(self):
+        return np.asarray(self.params['Sigmas'])
+
     # ------------------------------------------------------------------ io
     def __getstate__(self):
         state = dict(self.__dict__)

@@ -1,0 +1,238 @@
+"""Bayesian decoder: fuse ARHMM dynamics with neural-decoder outputs.
+
+The reference ships only the data plumbing for this model
+(behavenet/data/utils.py:257-298 wires the four signals 'ae_latents',
+'ae_predictions', 'arhmm_predictions', 'arhmm_states'; the notebook
+examples/04_bayesian_decoder.ipynb is empty and the docs say "Coming
+soon"). This module implements it TPU-natively.
+
+Model: a switching linear dynamical system whose discrete dynamics and
+per-state AR parameters come from a fitted :class:`behavenet_tpu.models
+.arhmm.ARHMM`, observed through two neural decoders:
+
+- continuous pseudo-observations: the neural->latent decoder predictions
+  ``y_t`` are treated as noisy measurements of the latent ``x_t`` with
+  observation covariance R (estimated from decoder residuals on training
+  trials);
+- discrete evidence: the neural->state decoder probabilities ``q_t(k)``
+  enter the discrete-state forward-backward as extra log-likelihood terms.
+
+Inference is a collapsed Gaussian-sum (IMM / GPB1) filter + RTS smoother
+implemented as ``lax.scan`` over time, fully jittable:
+
+1. discrete posterior gamma_t(k) via log-space forward-backward combining
+   ARHMM transitions with both evidence terms,
+2. continuous posterior via a soft-weighted Kalman filter: per state
+   predict with (A_k, b_k, Q_k), update with y_t, moment-match under
+   gamma_t, then an RTS backward pass.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from behavenet_tpu.ops import hmm as hmm_ops
+
+__all__ = ['BayesianDecoder']
+
+
+class BayesianDecoder:
+    """Fuses an ARHMM prior with neural decoder outputs (AR lags=1 or 0)."""
+
+    model_class = 'bayesian-decoding'
+
+    def __init__(self, arhmm, obs_noise=None, state_evidence_weight=1.0):
+        """
+        Parameters
+        ----------
+        arhmm : behavenet_tpu.models.arhmm.ARHMM
+            fitted segmentation model providing transitions + AR dynamics
+        obs_noise : (D, D) array, optional
+            observation covariance R of the neural latent predictions; if
+            None, call :meth:`estimate_obs_noise` before decoding
+        state_evidence_weight : float
+            weight on the neural state-decoder log-probabilities
+        """
+        if arhmm.lags > 1:
+            raise NotImplementedError('Bayesian decoding supports AR lags <= 1')
+        self.arhmm = arhmm
+        self.K = arhmm.K
+        self.D = arhmm.D
+        self.state_evidence_weight = float(state_evidence_weight)
+        self.R = None if obs_noise is None else jnp.asarray(obs_noise, dtype=jnp.float32)
+
+    # ------------------------------------------------------------- setup
+    def estimate_obs_noise(self, ae_latents, ae_predictions):
+        """Estimate R from decoder residuals on training trials.
+
+        Parameters are lists of (T, D) arrays; NaN rows (lag-trimmed borders
+        of prediction exports) are ignored.
+        """
+        resids = []
+        for z, y in zip(ae_latents, ae_predictions):
+            z = np.asarray(z, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            good = ~np.any(np.isnan(y), axis=1) & ~np.any(np.isnan(z), axis=1)
+            resids.append((y - z)[good])
+        r = np.vstack(resids)
+        R = np.cov(r.T) + 1e-6 * np.eye(self.D)
+        self.R = jnp.asarray(np.atleast_2d(R), dtype=jnp.float32)
+        return self.R
+
+    def _dynamics(self):
+        """Per-state (A, b, Q) from the ARHMM params."""
+        p = self.arhmm.params
+        D = self.D
+        if self.arhmm.lags == 1:
+            As = p['As'][:, :, :D]
+        else:  # lags == 0: random walk around state mean
+            As = jnp.zeros((self.K, D, D))
+        bs = p['bs']
+        Qs = p['Sigmas']
+        return As, bs, Qs
+
+    # ----------------------------------------------------------- decoding
+    def states_posterior(self, ae_predictions=None, arhmm_predictions=None):
+        """Discrete posterior gamma (T, K) from transitions + neural evidence."""
+        ll = self._discrete_loglik(ae_predictions, arhmm_predictions)
+        log_P = jax.nn.log_softmax(self.arhmm.params['log_Ps'], axis=1)
+        gamma, _, _ = hmm_ops.forward_backward(
+            self.arhmm.params['log_pi0'], log_P, ll)
+        return np.asarray(gamma)
+
+    def _discrete_loglik(self, ae_predictions, arhmm_predictions):
+        terms = []
+        if arhmm_predictions is not None:
+            q = jnp.clip(jnp.asarray(arhmm_predictions, dtype=jnp.float32), 1e-6)
+            terms.append(self.state_evidence_weight * jnp.log(q))
+        if ae_predictions is not None:
+            # continuous evidence enters the discrete chain through the
+            # per-state predictive likelihood of y_t under (A_k, b_k, Q_k + R)
+            y = jnp.asarray(ae_predictions, dtype=jnp.float32)
+            As, bs, Qs = self._dynamics()
+            covs = Qs + self.R[None]
+            chol = jnp.linalg.cholesky(covs + 1e-6 * jnp.eye(self.D)[None])
+            Linv = jax.vmap(lambda c: jax.scipy.linalg.solve_triangular(
+                c, jnp.eye(self.D), lower=True))(chol)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)
+            # one-step-ahead mean from the previous *observation*
+            y_prev = jnp.concatenate([y[:1], y[:-1]], axis=0)
+            mus = jnp.einsum('kde,te->tkd', As, y_prev) + bs[None]
+            diff = y[:, None, :] - mus
+            sol = jnp.einsum('kde,tke->tkd', Linv, diff)
+            maha = jnp.sum(sol ** 2, axis=2)
+            terms.append(-0.5 * (self.D * np.log(2 * np.pi) + logdet[None] + maha))
+        if not terms:
+            raise ValueError('need at least one of ae_predictions / arhmm_predictions')
+        return sum(terms)
+
+    def decode(self, ae_predictions, arhmm_predictions=None, smooth=True):
+        """Decode latents + states from neural predictions for one trial.
+
+        Parameters
+        ----------
+        ae_predictions : (T, D)
+            neural->latent decoder output (NaN border rows are filled by
+            the prior dynamics)
+        arhmm_predictions : (T, K), optional
+            neural->state decoder probabilities
+        smooth : bool
+            run the RTS backward pass
+
+        Returns
+        -------
+        dict with 'latents' (T, D), 'latents_cov' (T, D, D), 'states'
+        (T,), 'states_posterior' (T, K)
+        """
+        if self.R is None:
+            raise RuntimeError('call estimate_obs_noise() or pass obs_noise first')
+        y = np.asarray(ae_predictions, dtype=np.float32)
+        T = y.shape[0]
+        obs_mask = (~np.any(np.isnan(y), axis=1)).astype(np.float32)
+        y = np.nan_to_num(y)
+
+        ll = self._discrete_loglik(jnp.where(jnp.asarray(obs_mask[:, None]) > 0,
+                                             jnp.asarray(y), 0.0),
+                                   arhmm_predictions)
+        # zero continuous evidence at masked rows
+        ll = ll * jnp.asarray(obs_mask)[:, None]
+        log_P = jax.nn.log_softmax(self.arhmm.params['log_Ps'], axis=1)
+        gamma, _, _ = hmm_ops.forward_backward(
+            self.arhmm.params['log_pi0'], log_P, ll)
+        states = hmm_ops.viterbi(self.arhmm.params['log_pi0'], log_P, ll)
+
+        mus_f, Sigmas_f, mus_p, Sigmas_p = self._kalman_filter(
+            jnp.asarray(y), jnp.asarray(obs_mask), gamma)
+        if smooth:
+            mus_s, Sigmas_s = self._rts_smoother(
+                mus_f, Sigmas_f, mus_p, Sigmas_p, gamma)
+        else:
+            mus_s, Sigmas_s = mus_f, Sigmas_f
+
+        return {
+            'latents': np.asarray(mus_s),
+            'latents_cov': np.asarray(Sigmas_s),
+            'states': np.asarray(states),
+            'states_posterior': np.asarray(gamma),
+        }
+
+    def _kalman_filter(self, y, obs_mask, gamma):
+        """Soft-weighted (IMM-collapsed) Kalman filter, scan over time."""
+        As, bs, Qs = self._dynamics()
+        R = self.R
+        D = self.D
+        I = jnp.eye(D)
+
+        mu0 = y[0]
+        Sigma0 = R + jnp.einsum('k,kde->de', gamma[0], Qs)
+
+        def step(carry, inp):
+            mu_prev, Sigma_prev = carry
+            y_t, m_t, g_t = inp
+            # soft predict: moment-matched mixture over states
+            mu_k = jnp.einsum('kde,e->kd', As, mu_prev) + bs  # (K, D)
+            mu_pred = jnp.einsum('k,kd->d', g_t, mu_k)
+            diff = mu_k - mu_pred[None]
+            Sigma_k = jnp.einsum('kde,ef,kgf->kdg', As, Sigma_prev, As) + Qs
+            Sigma_pred = jnp.einsum('k,kde->de', g_t, Sigma_k) + \
+                jnp.einsum('k,kd,ke->de', g_t, diff, diff)
+            # update with the neural pseudo-observation
+            S = Sigma_pred + R
+            Kg = jnp.linalg.solve(S, Sigma_pred).T  # (D, D)
+            innov = y_t - mu_pred
+            mu_upd = mu_pred + Kg @ innov
+            Sigma_upd = (I - Kg) @ Sigma_pred
+            mu_new = jnp.where(m_t > 0, mu_upd, mu_pred)
+            Sigma_new = jnp.where(m_t > 0, Sigma_upd, Sigma_pred)
+            return (mu_new, Sigma_new), (mu_new, Sigma_new, mu_pred, Sigma_pred)
+
+        (_, _), (mus_f, Sigmas_f, mus_p, Sigmas_p) = lax.scan(
+            step, (mu0, Sigma0), (y[1:], obs_mask[1:], gamma[1:]))
+        mus_f = jnp.concatenate([mu0[None], mus_f], axis=0)
+        Sigmas_f = jnp.concatenate([Sigma0[None], Sigmas_f], axis=0)
+        return mus_f, Sigmas_f, mus_p, Sigmas_p
+
+    def _rts_smoother(self, mus_f, Sigmas_f, mus_p, Sigmas_p, gamma):
+        """RTS backward pass with the soft-mixture dynamics matrix."""
+        As, _, _ = self._dynamics()
+
+        def step(carry, inp):
+            mu_next, Sigma_next = carry
+            mu_f, Sigma_f, mu_p, Sigma_p, g_t = inp
+            A_soft = jnp.einsum('k,kde->de', g_t, As)
+            C = Sigma_f @ A_soft.T
+            G = jnp.linalg.solve(Sigma_p + 1e-6 * jnp.eye(self.D), C.T).T
+            mu_s = mu_f + G @ (mu_next - mu_p)
+            Sigma_s = Sigma_f + G @ (Sigma_next - Sigma_p) @ G.T
+            return (mu_s, Sigma_s), (mu_s, Sigma_s)
+
+        init = (mus_f[-1], Sigmas_f[-1])
+        # inputs at step t: filtered at t, predicted at t+1, gamma at t+1
+        (_, _), (mus_s, Sigmas_s) = lax.scan(
+            step, init,
+            (mus_f[:-1], Sigmas_f[:-1], mus_p, Sigmas_p, gamma[1:]),
+            reverse=True)
+        mus_s = jnp.concatenate([mus_s, mus_f[-1:]], axis=0)
+        Sigmas_s = jnp.concatenate([Sigmas_s, Sigmas_f[-1:]], axis=0)
+        return mus_s, Sigmas_s

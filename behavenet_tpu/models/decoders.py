@@ -224,35 +224,64 @@ class Decoder(base.BaseModel):
     def loss_fn(self, params, batch, rng, dataset=0):
         predictors = batch['predictors']
         targets = batch['targets']
+        fm = batch.get('frame_mask')
         max_lags = int(self.hparams['n_max_lags'])
         T = targets.shape[0]
         noise = self.hparams['noise_dist']
 
         outputs, precision = self.model.apply(params, predictors)
-        out_w = outputs[max_lags:T - max_lags]
-        tgt_w = targets[max_lags:T - max_lags]
+
+        if fm is None:
+            # static window: trim max_lags rows from each edge
+            out_w = outputs[max_lags:T - max_lags]
+            tgt_w = targets[max_lags:T - max_lags]
+            w = None
+            n_valid = T
+        else:
+            # padded batch: valid window is [max_lags, n_valid - max_lags)
+            n_valid = jnp.sum(fm)
+            t_idx = jnp.arange(T)
+            w = ((t_idx >= max_lags) & (t_idx < n_valid - max_lags)).astype(jnp.float32)
+            out_w = outputs
+            tgt_w = targets
 
         if noise == 'gaussian':
-            raw = losses.mse(out_w, tgt_w)
+            raw = losses.mse(out_w, tgt_w, frame_mask=w)
         elif noise == 'gaussian-full':
+            if fm is not None:
+                raise NotImplementedError(
+                    'gaussian-full decoding requires exact-shape batches')
             raw = losses.gaussian_neg_log_prob(
                 out_w, tgt_w, precision[max_lags:T - max_lags])
         elif noise == 'poisson':
             # torch PoissonNLLLoss(log_input=False, full=False, eps=1e-8)
-            raw = jnp.mean(out_w - tgt_w * jnp.log(out_w + 1e-8))
+            nll = out_w - tgt_w * jnp.log(out_w + 1e-8)
+            if w is None:
+                raw = jnp.mean(nll)
+            else:
+                raw = jnp.sum(jnp.mean(nll, axis=1) * w) / jnp.maximum(jnp.sum(w), 1.0)
         else:  # categorical
             logp = jax.nn.log_softmax(out_w, axis=1)
-            raw = -jnp.mean(jnp.take_along_axis(logp, tgt_w[:, None].astype(jnp.int32), axis=1))
+            nll = -jnp.take_along_axis(
+                logp, tgt_w.reshape(-1, 1).astype(jnp.int32), axis=1)[:, 0]
+            if w is None:
+                raw = jnp.mean(nll)
+            else:
+                raw = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         # reference arithmetic: per-chunk means weighted by window rows / full T
-        loss = raw * (T - 2 * max_lags) / T
+        loss = raw * (n_valid - 2 * max_lags) / n_valid
 
         if noise in ('gaussian', 'gaussian-full'):
-            r2 = r2_score_vw(tgt_w, out_w)
+            r2 = r2_score_vw(tgt_w, out_w, weights=w)
             fc = jnp.float32(0.0)
         elif noise == 'categorical':
             r2 = jnp.float32(0.0)
-            fc = jnp.mean((jnp.argmax(out_w, axis=1) == tgt_w).astype(jnp.float32))
+            correct = (jnp.argmax(out_w, axis=1) == tgt_w).astype(jnp.float32)
+            if w is None:
+                fc = jnp.mean(correct)
+            else:
+                fc = jnp.sum(correct * w) / jnp.maximum(jnp.sum(w), 1.0)
         else:
             r2 = jnp.float32(0.0)
             fc = jnp.float32(0.0)
@@ -291,6 +320,7 @@ class ConvDecoder(base.BaseModel):
         x = batch['images']
         y = batch['labels']
         m = batch.get('masks')
+        fm = batch.get('frame_mask')
         x_hat = self.forward(params, y, dataset=dataset)
-        loss = losses.mse(x_hat, x, m)
+        loss = losses.mse(x_hat, x, m, frame_mask=fm)
         return loss, {'loss': loss}

@@ -85,9 +85,10 @@ class VAE(AE):
     def loss_fn(self, params, batch, rng, dataset=0, beta=1.0):
         x = batch['images']
         m = batch.get('masks')
+        fm = batch.get('frame_mask')
         x_hat, _, mu, logvar = self.forward(params, x, rng=rng, dataset=dataset)
-        loss_ll = losses.gaussian_ll(x, x_hat, m)
-        loss_kl = losses.kl_div_to_std_normal(mu, logvar)
+        loss_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
+        loss_kl = losses.kl_div_to_std_normal(mu, logvar, frame_mask=fm)
         loss = -loss_ll + beta * loss_kl
         n_dims = int(np.prod(x.shape[1:]))
         loss_mse = -(loss_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
@@ -120,12 +121,13 @@ class ConditionalVAE(VAE):
     def loss_fn(self, params, batch, rng, dataset=0, beta=1.0):
         x = batch['images']
         m = batch.get('masks')
+        fm = batch.get('frame_mask')
         labels = batch['labels']
         labels_2d = batch.get('labels_sc')
         x_hat, _, mu, logvar = self.forward(
             params, x, rng=rng, dataset=dataset, labels=labels, labels_2d=labels_2d)
-        loss_ll = losses.gaussian_ll(x, x_hat, m)
-        loss_kl = losses.kl_div_to_std_normal(mu, logvar)
+        loss_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
+        loss_kl = losses.kl_div_to_std_normal(mu, logvar, frame_mask=fm)
         loss = -loss_ll + beta * loss_kl
         n_dims = int(np.prod(x.shape[1:]))
         loss_mse = -(loss_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
@@ -155,9 +157,10 @@ class BetaTCVAE(VAE):
     def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0):
         x = batch['images']
         m = batch.get('masks')
+        fm = batch.get('frame_mask')
         x_hat, sample, mu, logvar = self.forward(params, x, rng=rng, dataset=dataset)
-        loss_ll = losses.gaussian_ll(x, x_hat, m)
-        mi, tc, dwkl = losses.decomposed_kl(sample, mu, logvar)
+        loss_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
+        mi, tc, dwkl = losses.decomposed_kl(sample, mu, logvar, frame_mask=fm)
         loss = -loss_ll + kl * mi + beta * tc + kl * dwkl
         n_dims = int(np.prod(x.shape[1:]))
         loss_mse = -(loss_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
@@ -251,29 +254,30 @@ class PSVAE(AE, _PSEncoderMixin):
         y = batch['labels']
         m = batch.get('masks')
         n = batch.get('labels_masks')
+        fm = batch.get('frame_mask')
         n_labels = self.n_labels
         alpha = self.hparams['ps_vae.alpha']
         x_hat, sample, mu, logvar, y_hat = self.forward(params, x, rng=rng, dataset=dataset)
 
-        loss_data_ll = losses.gaussian_ll(x, x_hat, m)
-        loss_label_ll = losses.gaussian_ll(y, y_hat, n)
-        loss_zs_kl = losses.kl_div_to_std_normal(mu[:, :n_labels], logvar[:, :n_labels])
+        loss_data_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
+        loss_label_ll = losses.gaussian_ll(y, y_hat, n, frame_mask=fm)
+        loss_zs_kl = losses.kl_div_to_std_normal(
+            mu[:, :n_labels], logvar[:, :n_labels], frame_mask=fm)
         mi, tc, dwkl = losses.decomposed_kl(
-            sample[:, n_labels:], mu[:, n_labels:], logvar[:, n_labels:])
+            sample[:, n_labels:], mu[:, n_labels:], logvar[:, n_labels:], frame_mask=fm)
         loss = -loss_data_ll - alpha * loss_label_ll + loss_zs_kl \
             + kl * mi + beta * tc + kl * dwkl
 
         n_dims = int(np.prod(x.shape[1:]))
         loss_data_mse = -(loss_data_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
-        if n is not None:
-            # masked variance-weighted R^2 (mask weights both residual and variance sums)
+        w_ = None
+        if n is not None and fm is not None:
+            w_ = n * fm[:, None]
+        elif n is not None:
             w_ = n
-            mu_y = jnp.sum(y * w_, axis=0) / jnp.maximum(jnp.sum(w_, axis=0), 1e-12)
-            ss_res = jnp.sum(((y - y_hat) ** 2) * w_)
-            ss_tot = jnp.sum(((y - mu_y) ** 2) * w_)
-            r2 = 1.0 - ss_res / jnp.maximum(ss_tot, 1e-12)
-        else:
-            r2 = r2_score_vw(y, y_hat)
+        elif fm is not None:
+            w_ = fm
+        r2 = r2_score_vw(y, y_hat, weights=w_)
         return loss, {
             'loss': loss, 'loss_data_ll': loss_data_ll, 'loss_label_ll': loss_label_ll,
             'loss_zs_kl': loss_zs_kl, 'loss_zu_mi': mi, 'loss_zu_tc': tc, 'loss_zu_dwkl': dwkl,
@@ -372,6 +376,7 @@ class MSPSVAE(PSVAE):
         y = batch['labels']
         m = batch.get('masks')
         n = batch.get('labels_masks')
+        fm = batch.get('frame_mask')
         n_labels = self.n_labels
         n_bg = self.n_background
         alpha = self.hparams['ps_vae.alpha']
@@ -379,11 +384,13 @@ class MSPSVAE(PSVAE):
         rng_f, rng_t = jax.random.split(rng)
         x_hat, sample, mu, logvar, y_hat = self.forward(params, x, rng=rng_f, dataset=dataset)
 
-        loss_data_ll = losses.gaussian_ll(x, x_hat, m)
-        loss_label_ll = losses.gaussian_ll(y, y_hat, n)
-        loss_zs_kl = losses.kl_div_to_std_normal(mu[:, :n_labels], logvar[:, :n_labels])
+        loss_data_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
+        loss_label_ll = losses.gaussian_ll(y, y_hat, n, frame_mask=fm)
+        loss_zs_kl = losses.kl_div_to_std_normal(
+            mu[:, :n_labels], logvar[:, :n_labels], frame_mask=fm)
         mi, tc, dwkl = losses.decomposed_kl(
-            sample[:, n_labels + n_bg:], mu[:, n_labels + n_bg:], logvar[:, n_labels + n_bg:])
+            sample[:, n_labels + n_bg:], mu[:, n_labels + n_bg:],
+            logvar[:, n_labels + n_bg:], frame_mask=fm)
         loss = -loss_data_ll - alpha * loss_label_ll + loss_zs_kl \
             + kl * mi + beta * tc + kl * dwkl
 
@@ -396,14 +403,14 @@ class MSPSVAE(PSVAE):
 
         n_dims = int(np.prod(x.shape[1:]))
         loss_data_mse = -(loss_data_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
-        if n is not None:
+        w_ = None
+        if n is not None and fm is not None:
+            w_ = n * fm[:, None]
+        elif n is not None:
             w_ = n
-            mu_y = jnp.sum(y * w_, axis=0) / jnp.maximum(jnp.sum(w_, axis=0), 1e-12)
-            ss_res = jnp.sum(((y - y_hat) ** 2) * w_)
-            ss_tot = jnp.sum(((y - mu_y) ** 2) * w_)
-            r2 = 1.0 - ss_res / jnp.maximum(ss_tot, 1e-12)
-        else:
-            r2 = r2_score_vw(y, y_hat)
+        elif fm is not None:
+            w_ = fm
+        r2 = r2_score_vw(y, y_hat, weights=w_)
         return loss, {
             'loss': loss, 'loss_data_ll': loss_data_ll, 'loss_label_ll': loss_label_ll,
             'loss_zs_kl': loss_zs_kl, 'loss_zu_mi': mi, 'loss_zu_tc': tc, 'loss_zu_dwkl': dwkl,

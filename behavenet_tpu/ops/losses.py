@@ -20,18 +20,28 @@ __all__ = [
 LN2PI = float(np.log(2 * np.pi))
 
 
-def mse(y_pred, y_true, masks=None):
-    """Masked mean square error over all elements (reference losses.py:36)."""
+def mse(y_pred, y_true, masks=None, frame_mask=None):
+    """Masked mean square error over all elements (reference losses.py:36).
+
+    ``frame_mask`` (B,) marks real frames in a padded-to-bucket batch; the
+    mean then runs over valid frames only (exactly the reference value on
+    the unpadded batch).
+    """
     d = (y_pred - y_true) ** 2
     if masks is not None:
         d = d * masks
-    return jnp.mean(d)
+    if frame_mask is None:
+        return jnp.mean(d)
+    axes = tuple(range(1, d.ndim))
+    per_frame = jnp.mean(d, axis=axes)
+    return jnp.sum(per_frame * frame_mask) / jnp.maximum(jnp.sum(frame_mask), 1.0)
 
 
-def gaussian_ll(y_pred, y_mean, masks=None, std=1.0):
+def gaussian_ll(y_pred, y_mean, masks=None, std=1.0, frame_mask=None):
     """Diagonal-Gaussian log-likelihood, summed over dims, mean over batch.
 
-    (reference losses.py:62-96; fixed std for all dims)
+    (reference losses.py:62-96; fixed std for all dims). ``frame_mask``
+    restricts the batch mean to real frames of a padded batch.
     """
     n_dims = int(np.prod(y_pred.shape[1:]))
     log_var = np.log(std ** 2)
@@ -41,7 +51,9 @@ def gaussian_ll(y_pred, y_mean, masks=None, std=1.0):
     axes = tuple(range(1, y_pred.ndim))
     ll = -(0.5 * LN2PI + 0.5 * log_var) * n_dims \
         - (0.5 / (std ** 2)) * jnp.sum(diff_sq, axis=axes)
-    return jnp.mean(ll)
+    if frame_mask is None:
+        return jnp.mean(ll)
+    return jnp.sum(ll * frame_mask) / jnp.maximum(jnp.sum(frame_mask), 1.0)
 
 
 def gaussian_ll_to_mse(ll, n_dims, gaussian_std=1.0, mse_std=1.0):
@@ -54,10 +66,12 @@ def gaussian_ll_to_mse(ll, n_dims, gaussian_std=1.0, mse_std=1.0):
     return llc
 
 
-def kl_div_to_std_normal(mu, logvar):
+def kl_div_to_std_normal(mu, logvar, frame_mask=None):
     """KL(N(mu, exp(logvar)) || N(0,1)), summed dims / mean batch (reference :130)."""
     kl = 0.5 * jnp.sum(jnp.exp(logvar) - logvar + mu ** 2 - 1, axis=1)
-    return jnp.mean(kl)
+    if frame_mask is None:
+        return jnp.mean(kl)
+    return jnp.sum(kl * frame_mask) / jnp.maximum(jnp.sum(frame_mask), 1.0)
 
 
 def _log_density_gaussian(z, mu, logvar):
@@ -101,21 +115,36 @@ def dimension_wise_kl_to_std_normal(z, mu, logvar):
     return jnp.mean(log_qz_product - log_pz_product)
 
 
-def decomposed_kl(z, mu, logvar):
+def decomposed_kl(z, mu, logvar, frame_mask=None):
     """KL decomposition into (MI, TC, dimension-wise KL) (reference :284-351).
 
     Computes the pairwise log-density tensor once and derives all three
-    terms from it, matching the three standalone estimators above.
+    terms from it, matching the three standalone estimators above. With
+    ``frame_mask``, padded rows are excluded both as mixture components
+    (the logsumexp over the batch) and from the batch means, so the result
+    equals the reference value on the unpadded batch (the estimators
+    ignore the additive log(B) constant, reference :153-154).
     """
     log_qz_prob = _pairwise_log_qz(z, mu, logvar)
+    if frame_mask is not None:
+        # invalid components i contribute -inf to the logsumexp over axis 1
+        neg_inf = jnp.float32(-1e30)
+        log_qz_prob = jnp.where(frame_mask[None, :, None] > 0, log_qz_prob, neg_inf)
     summed = jnp.sum(log_qz_prob, axis=2)
     log_qz = jax.scipy.special.logsumexp(summed, axis=1)
-    log_qz_cond = jnp.diagonal(summed)
+    log_qz_cond = jnp.diagonal(
+        jnp.sum(_log_density_gaussian(z[:, None], mu[None, :], logvar[None, :]), axis=2))
     log_qz_product = jnp.sum(jax.scipy.special.logsumexp(log_qz_prob, axis=1), axis=1)
     log_pz_product = jnp.sum(_log_density_std_normal(z), axis=1)
-    idx_code_mi = jnp.mean(log_qz_cond - log_qz)
-    total_corr = jnp.mean(log_qz - log_qz_product)
-    dim_wise_kl = jnp.mean(log_qz_product - log_pz_product)
+
+    def _mean(v):
+        if frame_mask is None:
+            return jnp.mean(v)
+        return jnp.sum(v * frame_mask) / jnp.maximum(jnp.sum(frame_mask), 1.0)
+
+    idx_code_mi = _mean(log_qz_cond - log_qz)
+    total_corr = _mean(log_qz - log_qz_product)
+    dim_wise_kl = _mean(log_qz_product - log_pz_product)
     return idx_code_mi, total_corr, dim_wise_kl
 
 

@@ -1,0 +1,758 @@
+"""Latent-traversal machinery and PS-VAE analysis plots.
+
+Behavioral contract follows the reference (behavenet/plotting/cond_ae_utils.py):
+input-range computation from exported artifacts, 1d/2d interpolation through
+latent/label space, frame-array plots, traversal movies, PS-VAE training
+curves and hyperparameter-search plots, label reconstructions, and the
+session classifier for MSPS-VAE background subspaces.
+
+The model API here is functional: plotting entry points take ``(model,
+params)`` pairs as produced by
+:func:`behavenet_tpu.fitting.experiment.get_best_model_and_data`.
+Images are NHWC in the pipeline; this module converts to NCHW at the
+boundary to keep the reference's plotting conventions.
+"""
+
+import copy
+import os
+import pickle
+
+import numpy as np
+
+from behavenet_tpu import make_dir_if_not_exists
+from behavenet_tpu.data.utils import load_labels_like_latents
+from behavenet_tpu.fitting.eval import get_reconstruction
+from behavenet_tpu.plotting import concat, get_crop, load_metrics_csv_as_df, save_movie
+
+__all__ = [
+    'get_input_range', 'compute_range', 'interpolate_2d', 'interpolate_1d',
+    'interpolate_point_path', 'plot_2d_frame_array', 'plot_1d_frame_array',
+    'make_interpolated', 'make_interpolated_multipanel',
+    'plot_psvae_training_curves', 'plot_hyperparameter_search_results',
+    'plot_label_reconstructions', 'plot_latent_traversals', 'make_latent_traversal_movie',
+    'fit_classifier',
+]
+
+
+# ----------------------------------------
+# low-level helpers
+# ----------------------------------------
+
+def _nchw(ims):
+    """NHWC -> NCHW for plotting-layer conventions."""
+    ims = np.asarray(ims)
+    return np.transpose(ims, (0, 3, 1, 2))
+
+
+def _recon(model, params, inputs, **kwargs):
+    """get_reconstruction returning NCHW arrays."""
+    out = get_reconstruction(model, params, inputs, **kwargs)
+    return _nchw(out)
+
+
+def compute_range(values_list, min_p=5, max_p=95):
+    """Percentile range over stacked arrays (reference cond_ae_utils.py:150-181)."""
+    values_ = [arr for arr in values_list if len(arr) != 0]
+    values = np.vstack(values_)
+    return {
+        'min': np.nanpercentile(values, min_p, axis=0),
+        'max': np.nanpercentile(values, max_p, axis=0),
+        'med': np.nanpercentile(values, 50, axis=0)}
+
+
+def get_input_range(input_type, hparams, sess_ids=None, sess_idx=0, model=None,
+                    params=None, data_gen=None, version=0, min_p=5, max_p=95,
+                    apply_label_masks=False):
+    """Percentile range of latents / labels / labels_sc (reference :43-146)."""
+    if input_type == 'latents':
+        if isinstance(sess_idx, (list, np.ndarray)):
+            inputs = []
+            for s_idx in sess_idx:
+                latent_file = '%s_%s_%s_%s_latents.pkl' % (
+                    sess_ids[s_idx]['lab'], sess_ids[s_idx]['expt'],
+                    sess_ids[s_idx]['animal'], sess_ids[s_idx]['session'])
+                filename = os.path.join(
+                    hparams['expt_dir'], 'version_%i' % version, latent_file)
+                with open(filename, 'rb') as f:
+                    inputs += pickle.load(f)['latents']
+        else:
+            if sess_ids is not None and sess_idx is not None:
+                latent_file = '%s_%s_%s_%s_latents.pkl' % (
+                    sess_ids[sess_idx]['lab'], sess_ids[sess_idx]['expt'],
+                    sess_ids[sess_idx]['animal'], sess_ids[sess_idx]['session'])
+            else:
+                latent_file = '%s_%s_%s_%s_latents.pkl' % (
+                    hparams['lab'], hparams['expt'], hparams['animal'], hparams['session'])
+            filename = os.path.join(
+                hparams['expt_dir'], 'version_%i' % version, latent_file)
+            if not os.path.exists(filename):
+                from behavenet_tpu.fitting.eval import export_latents
+                print('latents file not found at %s' % filename)
+                print('exporting latents...', end='')
+                filenames = export_latents(data_gen, model, params)
+                filename = filenames[0]
+                print('done')
+            with open(filename, 'rb') as f:
+                inputs = pickle.load(f)['latents']
+    elif input_type == 'labels':
+        if not isinstance(sess_idx, (list, np.ndarray)):
+            sess_idx = [sess_idx]
+        inputs = []
+        for s_idx in sess_idx:
+            labels = load_labels_like_latents(hparams, sess_ids, sess_idx=s_idx)
+            inputs += labels['latents']
+    elif input_type == 'labels_sc':
+        if not isinstance(sess_idx, (list, np.ndarray)):
+            sess_idx = [sess_idx]
+        inputs = []
+        hparams2 = copy.deepcopy(hparams)
+        hparams2['conditional_encoder'] = True
+        for s_idx in sess_idx:
+            labels_sc = load_labels_like_latents(
+                hparams2, sess_ids, sess_idx=s_idx, data_key='labels_sc')
+            inputs += labels_sc['latents']
+    else:
+        raise NotImplementedError
+
+    if apply_label_masks and input_type == 'labels':
+        if not isinstance(sess_idx, (list, np.ndarray)):
+            sess_idx = [sess_idx]
+        masks = []
+        for s_idx in sess_idx:
+            try:
+                masks += load_labels_like_latents(
+                    hparams, sess_ids, sess_idx=s_idx, data_key='labels_masks')['latents']
+            except KeyError:
+                print('no label masks!')
+                break
+        for i, m in zip(inputs, masks):
+            i[m == 0] = np.nan
+
+    return compute_range(inputs, min_p=min_p, max_p=max_p)
+
+
+def _get_updated_scaled_labels(labels_og, idxs=None, vals=None):
+    """Pixel-space labels with selected entries overwritten (reference :846-874)."""
+    if labels_og is None:
+        return None
+    if len(np.asarray(labels_og).shape) == 4:
+        tmp = np.copy(labels_og)
+        t, y, x = np.where(tmp[0] == 1)
+        labels_sc = np.hstack([x, y])[None, :]
+    else:
+        labels_sc = np.copy(labels_og)
+    if idxs is not None:
+        if isinstance(idxs, int):
+            idxs, vals = [idxs], [vals]
+        for idx, val in zip(idxs, vals):
+            labels_sc[0, idx] = val
+    return labels_sc
+
+
+# ----------------------------------------
+# interpolation
+# ----------------------------------------
+
+def _interp_frame(interp_type, model, params, ims_0, latents, labels_0, labels_2d):
+    """One reconstructed frame for a given (latents or labels) setting."""
+    mc = model.hparams['model_class']
+    if interp_type == 'latents':
+        if mc == 'cond-ae-msp':
+            return _recon(model, params, latents, apply_inverse_transform=True)
+        labels = labels_0 if mc in ('cond-ae', 'cond-vae') else None
+        return _recon(model, params, latents, labels=labels)
+    # labels interpolation
+    if mc in ('cond-ae-msp', 'ps-vae', 'msps-vae'):
+        return _recon(model, params, latents, apply_inverse_transform=True)
+    return _recon(model, params, ims_0, labels=latents, labels_2d=labels_2d)
+
+
+def interpolate_2d(interp_type, model, params, ims_0, latents_0, labels_0, labels_sc_0,
+                   mins, maxes, input_idxs, n_frames, crop_type=None, mins_sc=None,
+                   maxes_sc=None, crop_kwargs=None, marker_idxs=None, ch=0):
+    """2-D grid of reconstructions interpolating two latent/label dims (reference :346-540).
+
+    Returns (ims_list, labels_list, ims_crop_list) — lists of lists.
+    """
+    if interp_type == 'labels':
+        from behavenet_tpu.data.transforms import MakeOneHot2D
+        _, _, y_pix, x_pix = _nchw(ims_0).shape if ims_0 is not None else (0, 0, 0, 0)
+        one_hot_2d = MakeOneHot2D(y_pix, x_pix) if ims_0 is not None else None
+
+    assert len(input_idxs) == 2
+
+    inputs, inputs_sc = [], []
+    for d in input_idxs:
+        inputs.append(np.linspace(mins[d], maxes[d], n_frames))
+        if mins_sc is not None and maxes_sc is not None:
+            inputs_sc.append(np.linspace(mins_sc[d], maxes_sc[d], n_frames))
+        elif interp_type == 'labels':
+            raise NotImplementedError
+
+    ims_list, ims_crop_list, labels_list = [], [], []
+    for i0 in range(n_frames):
+        ims_tmp, ims_crop_tmp, labels_tmp = [], [], []
+        for i1 in range(n_frames):
+            if interp_type == 'latents':
+                latents = np.copy(latents_0)
+                latents[0, input_idxs[0]] = inputs[0][i0]
+                latents[0, input_idxs[1]] = inputs[1][i1]
+                labels_sc = _get_updated_scaled_labels(labels_sc_0)
+                im_tmp = _interp_frame(
+                    'latents', model, params, ims_0, latents, labels_0, None)
+            else:
+                labels_sc = _get_updated_scaled_labels(
+                    labels_sc_0, input_idxs, [inputs_sc[0][i0], inputs_sc[1][i1]])
+                labels_2d = None
+                if labels_sc_0 is not None and len(np.asarray(labels_sc_0).shape) == 4:
+                    labels_2d = np.transpose(one_hot_2d(labels_sc), (0, 2, 3, 1))
+                if model.hparams['model_class'] in ('cond-ae-msp', 'ps-vae', 'msps-vae'):
+                    latents = np.copy(latents_0)
+                    latents[0, input_idxs[0]] = inputs[0][i0]
+                    latents[0, input_idxs[1]] = inputs[1][i1]
+                    im_tmp = _interp_frame(
+                        'labels', model, params, ims_0, latents, labels_0, labels_2d)
+                else:
+                    labels = np.copy(labels_0)
+                    labels[0, input_idxs[0]] = inputs[0][i0]
+                    labels[0, input_idxs[1]] = inputs[1][i1]
+                    im_tmp = _interp_frame(
+                        'labels', model, params, ims_0, labels, labels_0, labels_2d)
+
+            ims_tmp.append(np.copy(im_tmp[0, ch]))
+
+            if crop_type:
+                x_min_tmp = crop_kwargs['x_0'] - crop_kwargs['x_ext']
+                y_min_tmp = crop_kwargs['y_0'] - crop_kwargs['y_ext']
+            else:
+                x_min_tmp, y_min_tmp = 0, 0
+
+            if interp_type == 'labels':
+                labels_tmp.append([
+                    np.copy(labels_sc[0, input_idxs[0]]) - y_min_tmp,
+                    np.copy(labels_sc[0, input_idxs[1]]) - x_min_tmp])
+            elif interp_type == 'latents' and labels_sc_0 is not None:
+                labels_tmp.append([
+                    np.copy(labels_sc[0, marker_idxs[0]]) - y_min_tmp,
+                    np.copy(labels_sc[0, marker_idxs[1]]) - x_min_tmp])
+            else:
+                labels_tmp.append([np.nan, np.nan])
+
+            if crop_type:
+                ims_crop_tmp.append(get_crop(
+                    im_tmp[0, 0], crop_kwargs['y_0'], crop_kwargs['y_ext'],
+                    crop_kwargs['x_0'], crop_kwargs['x_ext']))
+            else:
+                ims_crop_tmp.append([])
+
+        ims_list.append(ims_tmp)
+        ims_crop_list.append(ims_crop_tmp)
+        labels_list.append(labels_tmp)
+
+    return ims_list, labels_list, ims_crop_list
+
+
+def interpolate_1d(interp_type, model, params, ims_0, latents_0, labels_0, labels_sc_0,
+                   mins, maxes, input_idxs, n_frames, crop_type=None, mins_sc=None,
+                   maxes_sc=None, crop_kwargs=None, marker_idxs=None, ch=0):
+    """Per-dim 1-D traversals (one row per input idx) (reference :543-730)."""
+    if interp_type == 'labels':
+        from behavenet_tpu.data.transforms import MakeOneHot2D
+        _, _, y_pix, x_pix = _nchw(ims_0).shape if ims_0 is not None else (0, 0, 0, 0)
+        one_hot_2d = MakeOneHot2D(y_pix, x_pix) if ims_0 is not None else None
+
+    inputs, inputs_sc = [], []
+    for d in input_idxs:
+        inputs.append(np.linspace(mins[d], maxes[d], n_frames))
+        if mins_sc is not None and maxes_sc is not None:
+            inputs_sc.append(np.linspace(mins_sc[d], maxes_sc[d], n_frames))
+        elif interp_type == 'labels':
+            raise NotImplementedError
+
+    ims_list, ims_crop_list, labels_list = [], [], []
+    for d_idx, d in enumerate(input_idxs):
+        ims_tmp, ims_crop_tmp, labels_tmp = [], [], []
+        for i0 in range(n_frames):
+            if interp_type == 'latents':
+                latents = np.copy(latents_0)
+                latents[0, d] = inputs[d_idx][i0]
+                labels_sc = _get_updated_scaled_labels(labels_sc_0)
+                im_tmp = _interp_frame(
+                    'latents', model, params, ims_0, latents, labels_0, None)
+            else:
+                labels_sc = _get_updated_scaled_labels(
+                    labels_sc_0, d, float(inputs_sc[d_idx][i0]))
+                labels_2d = None
+                if labels_sc_0 is not None and len(np.asarray(labels_sc_0).shape) == 4:
+                    labels_2d = np.transpose(one_hot_2d(labels_sc), (0, 2, 3, 1))
+                if model.hparams['model_class'] in ('cond-ae-msp', 'ps-vae', 'msps-vae'):
+                    latents = np.copy(latents_0)
+                    latents[0, d] = inputs[d_idx][i0]
+                    im_tmp = _interp_frame(
+                        'labels', model, params, ims_0, latents, labels_0, labels_2d)
+                else:
+                    labels = np.copy(labels_0)
+                    labels[0, d] = inputs[d_idx][i0]
+                    im_tmp = _interp_frame(
+                        'labels', model, params, ims_0, labels, labels_0, labels_2d)
+
+            ims_tmp.append(np.copy(im_tmp[0, ch]))
+
+            if crop_type:
+                x_min_tmp = crop_kwargs['x_0'] - crop_kwargs['x_ext']
+                y_min_tmp = crop_kwargs['y_0'] - crop_kwargs['y_ext']
+                ims_crop_tmp.append(get_crop(
+                    im_tmp[0, 0], crop_kwargs['y_0'], crop_kwargs['y_ext'],
+                    crop_kwargs['x_0'], crop_kwargs['x_ext']))
+            else:
+                x_min_tmp, y_min_tmp = 0, 0
+                ims_crop_tmp.append([])
+
+            if labels_sc is not None and marker_idxs is not None:
+                labels_tmp.append([
+                    np.copy(labels_sc[0, marker_idxs[0]]) - y_min_tmp,
+                    np.copy(labels_sc[0, marker_idxs[1]]) - x_min_tmp])
+            else:
+                labels_tmp.append([np.nan, np.nan])
+
+        ims_list.append(ims_tmp)
+        ims_crop_list.append(ims_crop_tmp)
+        labels_list.append(labels_tmp)
+
+    return ims_list, labels_list, ims_crop_list
+
+
+def interpolate_point_path(interp_type, model, params, ims_0, labels_0, points,
+                           n_frames=10, ch=0, crop_kwargs=None,
+                           apply_inverse_transform=True):
+    """Reconstructions along a piecewise-linear path through latent/label space
+    (reference :733-845). Returns (ims_list, inputs_list)."""
+    if model.hparams.get('conditional_encoder', False):
+        raise NotImplementedError
+
+    n_points = len(points)
+    if isinstance(n_frames, int):
+        n_frames = [n_frames] * (n_points - 1)
+    assert len(n_frames) == (n_points - 1)
+
+    ims_list, inputs_list = [], []
+    for p in range(n_points - 1):
+        p0 = points[None, p]
+        p1 = points[None, p + 1]
+        p_vec = (p1 - p0) / n_frames[p]
+        for pn in range(n_frames[p] + 1):
+            vec = p0 + pn * p_vec
+            mc = model.hparams['model_class']
+            if interp_type == 'latents':
+                if mc in ('cond-ae', 'cond-vae'):
+                    im_tmp = _recon(model, params, vec,
+                                    apply_inverse_transform=apply_inverse_transform,
+                                    labels=labels_0)
+                else:
+                    im_tmp = _recon(model, params, vec,
+                                    apply_inverse_transform=apply_inverse_transform)
+            elif interp_type == 'labels':
+                if mc in ('cond-ae-msp', 'ps-vae', 'msps-vae'):
+                    im_tmp = _recon(model, params, vec, apply_inverse_transform=True)
+                else:
+                    im_tmp = _recon(model, params, ims_0, labels=vec)
+            else:
+                raise NotImplementedError
+
+            if crop_kwargs is not None:
+                if not isinstance(ch, int):
+                    raise ValueError('"ch" must be an integer to use crop_kwargs')
+                ims_list.append(get_crop(
+                    im_tmp[0, ch], crop_kwargs['y_0'], crop_kwargs['y_ext'],
+                    crop_kwargs['x_0'], crop_kwargs['x_ext']))
+            else:
+                if isinstance(ch, int):
+                    ims_list.append(np.copy(im_tmp[0, ch]))
+                else:
+                    ims_list.append(np.copy(concat(im_tmp[0])))
+            inputs_list.append(vec)
+
+    return ims_list, inputs_list
+
+
+# ----------------------------------------
+# mid-level plotting
+# ----------------------------------------
+
+def plot_2d_frame_array(ims_list, markers=None, im_kwargs=None, marker_kwargs=None,
+                        figsize=None, save_file=None, format='pdf'):
+    """2-D grid of interpolated frames (reference :881-933)."""
+    import matplotlib.pyplot as plt
+
+    n_y = len(ims_list)
+    n_x = len(ims_list[0])
+    if figsize is None:
+        y_pix, x_pix = ims_list[0][0].shape
+        in_per_pix = 15 / (x_pix * n_x)
+        figsize = (15, in_per_pix * y_pix * n_y)
+    fig, axes = plt.subplots(n_y, n_x, figsize=figsize, squeeze=False)
+
+    if im_kwargs is None:
+        im_kwargs = {'vmin': 0, 'vmax': 1, 'cmap': 'gray'}
+    if marker_kwargs is None:
+        marker_kwargs = {'markersize': 20, 'markeredgewidth': 3}
+
+    for r, ims_list_y in enumerate(ims_list):
+        for c, im in enumerate(ims_list_y):
+            axes[r, c].imshow(im, **im_kwargs)
+            axes[r, c].set_xticks([])
+            axes[r, c].set_yticks([])
+            if markers is not None:
+                axes[r, c].plot(markers[r][c][1], markers[r][c][0], 'o', **marker_kwargs)
+    plt.subplots_adjust(wspace=0, hspace=0, bottom=0, left=0, top=1, right=1)
+    if save_file is not None:
+        make_dir_if_not_exists(save_file)
+        plt.savefig(save_file + '.' + format, dpi=300, bbox_inches='tight')
+    return fig
+
+
+def plot_1d_frame_array(ims_list, markers=None, im_kwargs=None, marker_kwargs=None,
+                        plot_ims=True, plot_diffs=True, figsize=None, save_file=None,
+                        format='pdf'):
+    """Rows of 1-D traversals, optionally with difference images (reference :935-1011)."""
+    import matplotlib.pyplot as plt
+
+    if not (plot_ims or plot_diffs):
+        raise ValueError('Must plot at least one of ims or diffs')
+
+    offset = 2 if (plot_ims and plot_diffs) else 1
+    n_y = len(ims_list) * offset
+    n_x = len(ims_list[0])
+    if figsize is None:
+        y_pix, x_pix = ims_list[0][0].shape
+        in_per_pix = 15 / (x_pix * n_x)
+        figsize = (15, in_per_pix * y_pix * n_y)
+    fig, axes = plt.subplots(n_y, n_x, figsize=figsize, squeeze=False)
+
+    if im_kwargs is None:
+        im_kwargs = {'vmin': 0, 'vmax': 1, 'cmap': 'gray'}
+    if marker_kwargs is None:
+        marker_kwargs = {'markersize': 20, 'markeredgewidth': 3}
+
+    for r, ims_list_y in enumerate(ims_list):
+        base_im = ims_list_y[0]
+        for c, im in enumerate(ims_list_y):
+            if plot_ims:
+                axes[offset * r, c].imshow(im, **im_kwargs)
+                axes[offset * r, c].set_xticks([])
+                axes[offset * r, c].set_yticks([])
+                if markers is not None:
+                    axes[offset * r, c].plot(
+                        markers[r][c][1], markers[r][c][0], 'o', **marker_kwargs)
+            if plot_diffs and plot_ims:
+                axes[offset * r + 1, c].imshow(0.5 + (im - base_im), **im_kwargs)
+                axes[offset * r + 1, c].set_xticks([])
+                axes[offset * r + 1, c].set_yticks([])
+            elif plot_diffs:
+                axes[offset * r, c].imshow(0.5 + (im - base_im), **im_kwargs)
+                axes[offset * r, c].set_xticks([])
+                axes[offset * r, c].set_yticks([])
+    plt.subplots_adjust(wspace=0, hspace=0, bottom=0, left=0, top=1, right=1)
+    if save_file is not None:
+        make_dir_if_not_exists(save_file)
+        plt.savefig(save_file + '.' + format, dpi=300, bbox_inches='tight')
+    return fig
+
+
+def make_interpolated(ims, save_file, markers=None, text=None, text_title=None,
+                      text_color=[1, 1, 1], frame_rate=20, scale=3, markersize=10,
+                      markeredgecolor='w', markeredgewidth=1, ax=None):
+    """Movie of a single interpolation sequence (reference :1014-1102)."""
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    y_pix, x_pix = ims[0].shape
+
+    if ax is None:
+        fig_width = scale / 2
+        fig_height = y_pix / x_pix * scale / 2
+        fig = plt.figure(figsize=(fig_width, fig_height), dpi=300)
+        ax = plt.gca()
+        return_ims = False
+    else:
+        fig = ax.figure
+        return_ims = True
+
+    ax.set_xticks([])
+    ax.set_yticks([])
+
+    default_kwargs = {'animated': True, 'cmap': 'gray', 'vmin': 0, 'vmax': 1}
+    txt_kwargs = {
+        'fontsize': 4, 'color': text_color, 'fontname': 'monospace',
+        'horizontalalignment': 'left', 'verticalalignment': 'center',
+        'transform': ax.transAxes}
+
+    ims_ani = []
+    for i, im in enumerate(ims):
+        im_tmp = ax.imshow(im, **default_kwargs)
+        ims_curr = [im_tmp]
+        if markers is not None:
+            markers_tmp = ax.plot(
+                markers[i][1], markers[i][0], '.r', markersize=markersize,
+                markeredgecolor=markeredgecolor, markeredgewidth=markeredgewidth)[0]
+            ims_curr.append(markers_tmp)
+        if text is not None:
+            text_tmp = ax.text(0.02, 0.06, text[i], **txt_kwargs)
+            ims_curr.append(text_tmp)
+        if text_title is not None:
+            text_title_tmp = ax.text(0.02, 0.92, text_title[i], **txt_kwargs)
+            ims_curr.append(text_title_tmp)
+        ims_ani.append(ims_curr)
+
+    if return_ims:
+        return ims_ani
+    plt.tight_layout(pad=0)
+    ani = animation.ArtistAnimation(fig, ims_ani, blit=True, repeat=True)
+    save_movie(save_file, ani, frame_rate=frame_rate)
+    return ani
+
+
+def make_interpolated_multipanel(ims, save_file, markers=None, text=None, text_title=None,
+                                 n_cols=3, frame_rate=15, scale=1, **kwargs):
+    """Grid movie of multiple interpolation sequences (reference :1105-1172)."""
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    n_panels = len(ims)
+    markers = [None] * n_panels if markers is None else markers
+    text = [None] * n_panels if text is None else text
+
+    y_pix, x_pix = ims[0][0].shape
+    n_rows = int(np.ceil(n_panels / n_cols))
+    fig_width = scale / 2 * n_cols
+    fig_height = y_pix / x_pix * scale / 2 * n_rows
+    fig, axes = plt.subplots(n_rows, n_cols, figsize=(fig_width, fig_height), dpi=300,
+                             squeeze=False)
+    plt.subplots_adjust(wspace=0, hspace=0, left=0, bottom=0, right=1, top=1)
+
+    ims_ani = []
+    for i, (ims_curr, markers_curr, text_curr) in enumerate(zip(ims, markers, text)):
+        row = i // n_cols
+        col = i % n_cols
+        ims_ani_curr = make_interpolated(
+            ims=ims_curr, markers=markers_curr, text=text_curr, text_title=text_title,
+            ax=axes[row, col], save_file=None, **kwargs)
+        ims_ani.append(ims_ani_curr)
+
+    # rearrange: one list of artists per frame
+    ims_ani = [[a for sublist in frames for a in sublist] for frames in zip(*ims_ani)]
+
+    ani = animation.ArtistAnimation(fig, ims_ani, blit=True, repeat=True)
+    save_movie(save_file, ani, frame_rate=frame_rate)
+    return ani
+
+
+# ----------------------------------------
+# high-level PS-VAE analysis
+# ----------------------------------------
+
+def plot_psvae_training_curves(hparams, alphas, betas, rng_seeds_model, n_ae_latents,
+                               save_file=None, batch_size=None, format='png', **kwargs):
+    """PS-VAE training curves across alpha/beta/seed settings (reference :1376-1513)."""
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    import seaborn as sns
+
+    metrics_list = ['loss', 'loss_data_ll', 'loss_zu_mi', 'loss_zu_tc', 'loss_zu_dwkl',
+                    'loss_zs_kl', 'label_r2']
+    metrics_dfs = []
+    for alpha in alphas:
+        for beta in betas:
+            for rng in rng_seeds_model:
+                hparams_ = copy.deepcopy(hparams)
+                hparams_['ps_vae.alpha'] = alpha
+                hparams_['ps_vae.beta'] = beta
+                hparams_['rng_seed_model'] = rng
+                hparams_['n_ae_latents'] = n_ae_latents
+                try:
+                    df = load_metrics_csv_as_df(
+                        hparams_, hparams_['lab'], hparams_['expt'], metrics_list,
+                        version=None)
+                    df['alpha'] = alpha
+                    df['beta'] = beta
+                    df['rng'] = rng
+                    metrics_dfs.append(df)
+                except (FileNotFoundError, TypeError):
+                    print('skipping alpha=%s beta=%s rng=%s (not found)' % (alpha, beta, rng))
+    metrics_df = pd.concat(metrics_dfs, sort=False)
+
+    sns.set_style('white')
+    data_queried = metrics_df[(metrics_df.epoch > 0) & ~pd.isna(metrics_df.val)]
+    g = sns.FacetGrid(
+        data_queried, col='loss', hue='dtype', sharey=False, col_wrap=3, **kwargs)
+    g = g.map(plt.plot, 'epoch', 'val').add_legend()
+    if save_file is not None:
+        make_dir_if_not_exists(save_file)
+        g.savefig(save_file + '.' + format, dpi=300)
+    return g
+
+
+def plot_hyperparameter_search_results(lab, expt, animal, session, n_ae_latents, label_names,
+                                       alpha_weights, alpha_n_ae_latents, alpha_expt_name,
+                                       beta_weights, beta_expt_name, save_file,
+                                       batch_size=None, format='png', **kwargs):
+    """Summary plot of the PS-VAE alpha/beta search (reference :1516-1849).
+
+    Left: label R^2 as a function of alpha (alpha search stage); right:
+    mean latent MSE and TC as functions of beta (beta search stage).
+    """
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    import seaborn as sns
+
+    from behavenet_tpu.fitting.experiment import get_expt_dir, get_session_dir
+
+    base = {
+        'lab': lab, 'expt': expt, 'animal': animal, 'session': session,
+        'sessions_csv': '', 'n_ae_latents': None, 'model_class': 'ps-vae',
+        'model_type': 'conv',
+    }
+
+    def _collect(expt_name, weights, key, n_latents):
+        dfs = []
+        for w in weights:
+            hp = dict(base)
+            hp['experiment_name'] = expt_name
+            hp['n_ae_latents'] = n_latents
+            try:
+                hp['session_dir'], _ = get_session_dir(hp)
+                hp['expt_dir'] = get_expt_dir(hp)
+                df = load_metrics_csv_as_df(
+                    hp, lab, expt, ['loss_data_mse', 'loss_zu_tc', 'label_r2'],
+                    version='best')
+                df[key] = w
+                dfs.append(df)
+            except Exception as e:
+                print('skipping %s=%s: %s' % (key, w, e))
+        return pd.concat(dfs, sort=False) if dfs else pd.DataFrame()
+
+    alpha_df = _collect(alpha_expt_name, alpha_weights, 'alpha', alpha_n_ae_latents)
+    beta_df = _collect(beta_expt_name, beta_weights, 'beta', n_ae_latents)
+
+    sns.set_style('white')
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    if len(alpha_df):
+        d = alpha_df[(alpha_df.loss == 'label_r2') & (alpha_df.dtype == 'val')]
+        sns.lineplot(data=d, x='alpha', y='val', ax=axes[0], marker='o')
+        axes[0].set_xlabel('alpha')
+        axes[0].set_ylabel('label R^2')
+        axes[0].set_title('alpha search')
+    if len(beta_df):
+        d = beta_df[(beta_df.loss == 'loss_zu_tc') & (beta_df.dtype == 'val')]
+        sns.lineplot(data=d, x='beta', y='val', ax=axes[1], marker='o')
+        axes[1].set_xlabel('beta')
+        axes[1].set_ylabel('total correlation')
+        axes[1].set_title('beta search')
+    plt.tight_layout()
+    if save_file is not None:
+        make_dir_if_not_exists(save_file)
+        plt.savefig(save_file + '.' + format, dpi=300)
+    return fig
+
+
+def plot_label_reconstructions(model, params, data_generator, trials, sess_idx=0,
+                               label_names=None, save_file=None, format='png', **kwargs):
+    """True vs PS-VAE-reconstructed labels for given trials (reference :1852-1967)."""
+    import matplotlib.pyplot as plt
+
+    import jax
+
+    ys, y_hats = [], []
+    for trial in trials:
+        batch = data_generator.datasets[sess_idx][int(trial)]
+        x = batch['images'].astype('float32') / 255.0
+        y = batch['labels']
+        y_hat = np.asarray(model.get_predicted_labels(
+            params, x, dataset=sess_idx, rng=jax.random.PRNGKey(0)))
+        ys.append(y)
+        y_hats.append(y_hat)
+    y = np.vstack(ys)
+    y_hat = np.vstack(y_hats)
+
+    n_labels = y.shape[1]
+    if label_names is None:
+        label_names = ['label %i' % i for i in range(n_labels)]
+    fig, axes = plt.subplots(n_labels, 1, figsize=(10, 2 * n_labels), squeeze=False)
+    for i in range(n_labels):
+        axes[i, 0].plot(y[:, i], label='true')
+        axes[i, 0].plot(y_hat[:, i], label='predicted')
+        axes[i, 0].set_ylabel(label_names[i])
+        if i == 0:
+            axes[i, 0].legend()
+    axes[-1, 0].set_xlabel('frame')
+    plt.tight_layout()
+    if save_file is not None:
+        make_dir_if_not_exists(save_file)
+        plt.savefig(save_file + '.' + format, dpi=300)
+    return fig
+
+
+def plot_latent_traversals(model, params, ims_0, latents_0, labels_0=None, labels_sc_0=None,
+                           latent_range=None, label_range=None, latent_idxs=None,
+                           label_idxs=None, n_frames=8, save_file=None, format='png', **kwargs):
+    """Static grid of per-dim latent (and label) traversals (reference :1970-2201)."""
+    ims_all = []
+    if label_idxs is not None and label_range is not None:
+        ims_lab, _, _ = interpolate_1d(
+            'labels', model, params, ims_0, latents_0, labels_0, labels_sc_0,
+            label_range['min'], label_range['max'], label_idxs, n_frames)
+        ims_all += ims_lab
+    if latent_idxs is not None and latent_range is not None:
+        ims_lat, _, _ = interpolate_1d(
+            'latents', model, params, ims_0, latents_0, labels_0, labels_sc_0,
+            latent_range['min'], latent_range['max'], latent_idxs, n_frames)
+        ims_all += ims_lat
+    return plot_1d_frame_array(
+        ims_all, plot_ims=True, plot_diffs=False, save_file=save_file, format=format)
+
+
+def make_latent_traversal_movie(model, params, ims_0, latents_0, labels_0=None,
+                                latent_range=None, latent_idxs=None, n_frames=10,
+                                n_buffer=5, save_file=None, frame_rate=15, ch=0, **kwargs):
+    """Movie traversing each latent dim in sequence (reference :2204-2513)."""
+    latent_idxs = np.arange(latents_0.shape[1]) if latent_idxs is None else latent_idxs
+    ims_seq = []
+    text = []
+    for d in latent_idxs:
+        points = []
+        base = latents_0[0].copy()
+        lo = latent_range['min'][d]
+        hi = latent_range['max'][d]
+        mid = base[d]
+        for val in (mid, lo, hi, mid):
+            p = base.copy()
+            p[d] = val
+            points.append(p)
+        ims_list, _ = interpolate_point_path(
+            'latents', model, params, ims_0, labels_0, points, n_frames=n_frames, ch=ch)
+        ims_seq += ims_list
+        text += ['latent %i' % d] * len(ims_list)
+        # buffer frames between dims
+        if n_buffer > 0:
+            ims_seq += [ims_list[-1]] * n_buffer
+            text += [''] * n_buffer
+    return make_interpolated(
+        ims=ims_seq, text=None, text_title=text, save_file=save_file,
+        frame_rate=frame_rate)
+
+
+def fit_classifier(model_or_latents, datasets_or_labels, **kwargs):
+    """Logistic-regression session classifier on background latents (reference :1323-1373).
+
+    Accepts (latents (N, d), session_ids (N,)); returns (classifier, accuracy)
+    via cross-validation.
+    """
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.model_selection import cross_val_score
+
+    latents = np.asarray(model_or_latents)
+    labels = np.asarray(datasets_or_labels)
+    clf = LogisticRegression(max_iter=1000, **kwargs)
+    scores = cross_val_score(clf, latents, labels, cv=5)
+    clf.fit(latents, labels)
+    return clf, float(np.mean(scores))

@@ -1,0 +1,109 @@
+"""Length-bucketed (padded+masked) losses must equal exact-shape losses."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from behavenet_tpu.fitting.training import _bucket_batch
+from behavenet_tpu.models import AE, BetaTCVAE, Decoder, VAE
+from behavenet_tpu.models import arch as arch_mod
+
+
+def make_hp(model_class, **kw):
+    a = arch_mod.load_handcrafted_arch([1, 32, 24], 6, None, check_memory=False)
+    hp = dict(a, model_class=model_class, model_type='conv', n_ae_latents=6,
+              n_input_channels=1, y_pixels=32, x_pixels=24, rng_seed_model=0,
+              max_n_epochs=5)
+    hp.update(kw)
+    return hp
+
+
+def _assert_metrics_close(m_exact, m_bucketed, atol=1e-4):
+    for key in m_exact:
+        assert np.allclose(float(m_exact[key]), float(m_bucketed[key]), atol=atol), \
+            '%s: %f vs %f' % (key, float(m_exact[key]), float(m_bucketed[key]))
+
+
+class TestBucketEquivalence:
+
+    def _batch(self, T=37, with_labels=False):
+        rs = np.random.RandomState(0)
+        batch = {'images': rs.rand(T, 32, 24, 1).astype(np.float32)}
+        if with_labels:
+            batch['labels'] = rs.randn(T, 4).astype(np.float32)
+        return batch
+
+    def test_bucket_pads_to_multiple(self):
+        b = _bucket_batch(self._batch(T=37), 32)
+        assert b['images'].shape[0] == 64
+        assert b['frame_mask'].sum() == 37
+
+    def test_exact_multiple_no_pad(self):
+        b = _bucket_batch(self._batch(T=64), 32)
+        assert b['images'].shape[0] == 64
+        assert b['frame_mask'].sum() == 64
+
+    def test_ae_loss_equal(self):
+        model = AE(make_hp('ae'))
+        params = model.init(jax.random.PRNGKey(0))
+        batch = self._batch()
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, m_exact = model.loss_fn(params, jb, jax.random.PRNGKey(1))
+        bb = _bucket_batch(batch, 32)
+        jbb = {k: jnp.asarray(v) for k, v in bb.items()}
+        _, m_buck = model.loss_fn(params, jbb, jax.random.PRNGKey(1))
+        _assert_metrics_close(m_exact, m_buck)
+
+    def test_vae_loss_equal(self):
+        """Deterministic (use_mean) part must match; compare with fixed sample."""
+        model = VAE(make_hp('vae', **{'vae.beta': 2.0}))
+        params = model.init(jax.random.PRNGKey(0))
+        batch = self._batch()
+        # zero the logvar weights/bias so sampling is deterministic-ish? no:
+        # instead evaluate KL/LL terms via use_mean path by zeroing logvar head
+        params['encoder']['logvar']['w'] = params['encoder']['logvar']['w'] * 0 - 20.0 * 0
+        params['encoder']['logvar']['b'] = params['encoder']['logvar']['b'] * 0 - 20.0
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, m_exact = model.loss_fn(params, jb, jax.random.PRNGKey(1), beta=2.0)
+        bb = _bucket_batch(batch, 32)
+        jbb = {k: jnp.asarray(v) for k, v in bb.items()}
+        _, m_buck = model.loss_fn(params, jbb, jax.random.PRNGKey(1), beta=2.0)
+        # std=exp(-20)~0 so the reparam noise is negligible on both paths
+        _assert_metrics_close(m_exact, m_buck, atol=1e-3)
+
+    def test_beta_tcvae_decomposed_kl_equal(self):
+        model = BetaTCVAE(make_hp('beta-tcvae', **{'beta_tcvae.beta': 3.0}))
+        params = model.init(jax.random.PRNGKey(0))
+        params['encoder']['logvar']['w'] = params['encoder']['logvar']['w'] * 0
+        params['encoder']['logvar']['b'] = params['encoder']['logvar']['b'] * 0 - 20.0
+        batch = self._batch()
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, m_exact = model.loss_fn(params, jb, jax.random.PRNGKey(1), beta=3.0, kl=1.0)
+        bb = _bucket_batch(batch, 32)
+        jbb = {k: jnp.asarray(v) for k, v in bb.items()}
+        _, m_buck = model.loss_fn(params, jbb, jax.random.PRNGKey(1), beta=3.0, kl=1.0)
+        _assert_metrics_close(m_exact, m_buck, atol=1e-3)
+
+    def test_decoder_loss_equal(self):
+        hp = {'model_class': 'neural-ae', 'model_type': 'mlp', 'input_size': 10,
+              'output_size': 4, 'n_hid_layers': 1, 'n_hid_units': 8, 'n_lags': 2,
+              'n_max_lags': 4, 'noise_dist': 'gaussian', 'activation': 'relu'}
+        model = Decoder(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        rs = np.random.RandomState(0)
+        T = 41
+        batch = {'predictors': rs.randn(T, 10).astype(np.float32),
+                 'targets': rs.randn(T, 4).astype(np.float32)}
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, m_exact = model.loss_fn(params, jb, jax.random.PRNGKey(1))
+        bb = _bucket_batch(batch, 32)
+        jbb = {k: jnp.asarray(v) for k, v in bb.items()}
+        _, m_buck = model.loss_fn(params, jbb, jax.random.PRNGKey(1))
+        # note: conv over padded region sees zeros, but those rows are outside
+        # the valid window [max_lags, n_valid - max_lags) only if
+        # n_valid - max_lags <= T; rows near the pad boundary differ in conv
+        # context -> compare loss on the valid interior
+        assert np.allclose(float(m_exact['loss']), float(m_buck['loss']), atol=1e-4)
+        assert np.allclose(float(m_exact['r2']), float(m_buck['r2']), atol=1e-4)

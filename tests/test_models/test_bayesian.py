@@ -1,0 +1,100 @@
+"""Bayesian decoder: fusion of ARHMM dynamics with noisy neural predictions."""
+
+import numpy as np
+
+from behavenet_tpu.models.arhmm import ARHMM
+from behavenet_tpu.models.bayesian import BayesianDecoder
+
+
+def make_slds_data(T=400, seed=0):
+    """Ground-truth ARHMM trajectories + noisy 'neural' predictions of them."""
+    rng = np.random.RandomState(seed)
+    As = [0.97 * np.eye(2), np.array([[0.0, -0.95], [0.95, 0.0]])]
+    bs = [np.array([0.05, 0.0]), np.zeros(2)]
+    z = np.zeros(T, dtype=int)
+    for t in range(1, T):
+        z[t] = z[t - 1] if rng.rand() < 0.97 else 1 - z[t - 1]
+    x = np.zeros((T, 2))
+    for t in range(1, T):
+        k = z[t]
+        x[t] = As[k] @ x[t - 1] + bs[k] + 0.05 * rng.randn(2)
+    # noisy neural readout of the latents
+    y = x + 0.5 * rng.randn(T, 2)
+    # noisy neural state predictions
+    q = np.full((T, 2), 0.2)
+    q[np.arange(T), z] = 0.8
+    return x.astype(np.float32), y.astype(np.float32), z, q.astype(np.float32)
+
+
+def _fit_arhmm(x, z_true=None):
+    hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+    hmm.initialize([x])
+    hmm.fit([x], num_iters=20)
+    if z_true is not None:
+        # align hmm labels with the generative labels (in practice the
+        # neural->state decoder is trained on the hmm's own states, so the
+        # labelings agree by construction)
+        z_hat = hmm.most_likely_states(x)
+        if np.mean(z_hat == z_true) < 0.5:
+            hmm.permute([1, 0])
+    return hmm
+
+
+class TestBayesianDecoder:
+
+    def test_decoding_beats_raw_predictions(self):
+        """Fusing the ARHMM prior must reduce latent MSE vs raw neural preds."""
+        x, y, z, q = make_slds_data()
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        dec.estimate_obs_noise([x], [y])
+        out = dec.decode(y, arhmm_predictions=q)
+        mse_raw = float(np.mean((y - x) ** 2))
+        mse_dec = float(np.mean((out['latents'] - x) ** 2))
+        assert mse_dec < mse_raw, 'decoded %f vs raw %f' % (mse_dec, mse_raw)
+        # substantial improvement expected with strong dynamics
+        assert mse_dec < 0.6 * mse_raw
+
+    def test_state_posterior_uses_evidence(self):
+        x, y, z, q = make_slds_data()
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        dec.estimate_obs_noise([x], [y])
+        out = dec.decode(y, arhmm_predictions=q)
+        gamma = out['states_posterior']
+        assert gamma.shape == (len(x), 2)
+        assert np.allclose(gamma.sum(axis=1), 1, atol=1e-2)
+        # decoded states should track truth up to permutation
+        from itertools import permutations
+        acc = max(np.mean(np.array([p[s] for s in out['states']]) == z)
+                  for p in permutations(range(2)))
+        assert acc > 0.7
+
+    def test_nan_border_rows_handled(self):
+        """Prediction exports have NaN lag borders; decoding must fill them."""
+        x, y, z, q = make_slds_data(T=200)
+        y[:4] = np.nan
+        y[-4:] = np.nan
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        dec.estimate_obs_noise([x[4:-4]], [y[4:-4]])
+        out = dec.decode(y, arhmm_predictions=q)
+        assert np.isfinite(out['latents']).all()
+
+    def test_smoother_at_least_as_good_as_filter(self):
+        x, y, z, q = make_slds_data(seed=1)
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        dec.estimate_obs_noise([x], [y])
+        out_f = dec.decode(y, arhmm_predictions=q, smooth=False)
+        out_s = dec.decode(y, arhmm_predictions=q, smooth=True)
+        mse_f = np.mean((out_f['latents'] - x) ** 2)
+        mse_s = np.mean((out_s['latents'] - x) ** 2)
+        assert mse_s <= mse_f * 1.05
+
+    def test_state_evidence_only(self):
+        x, y, z, q = make_slds_data()
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        gamma = dec.states_posterior(arhmm_predictions=q)
+        assert gamma.shape == (len(x), 2)
