@@ -283,9 +283,12 @@ class ConcatSessionsGenerator(object):
                 [dataset.n_batches[dtype] for dataset in self.datasets]))
 
         # per-dataset shuffled iteration state (replaces torch DataLoader +
-        # SubsetRandomSampler: order reshuffles on every reset)
+        # SubsetRandomSampler: order reshuffles on every reset); each dtype
+        # owns a private RNG stream seeded from the global stream at reset so
+        # background prefetch threads cannot perturb ordering determinism
         self._iter_order = [dict() for _ in range(self.n_datasets)]
         self._iter_pos = [dict() for _ in range(self.n_datasets)]
+        self._choice_rng = {}
         self.reset_iterators('all')
 
     def __str__(self):
@@ -299,8 +302,10 @@ class ConcatSessionsGenerator(object):
 
     def reset_iterators(self, dtype):
         """Reshuffle trial order and rewind; dtype in {'train','val','test','all'}."""
+        dtypes = self._dtypes if dtype == 'all' else [dtype]
+        for dt in dtypes:
+            self._choice_rng[dt] = np.random.RandomState(np.random.randint(0, 2 ** 31 - 1))
         for i, dataset in enumerate(self.datasets):
-            dtypes = self._dtypes if dtype == 'all' else [dtype]
             for dt in dtypes:
                 self._iter_order[i][dt] = np.random.permutation(dataset.batch_idxs[dt])
                 self._iter_pos[i][dt] = 0
@@ -315,8 +320,9 @@ class ConcatSessionsGenerator(object):
 
     def next_batch(self, dtype):
         """Next (sample, dataset_idx); sessions drawn by batch-ratio multinomial."""
+        rng = self._choice_rng.get(dtype, np.random)
         while True:
-            dataset = int(np.random.choice(np.arange(self.n_datasets), p=self.batch_ratios))
+            dataset = int(rng.choice(np.arange(self.n_datasets), p=self.batch_ratios))
             try:
                 sample = self._next_from(dataset, dtype)
                 break
@@ -351,13 +357,14 @@ class ConcatSessionsGeneratorMulti(ConcatSessionsGenerator):
             return array if s == 0 else array / s
 
         if dtype == 'train' and return_multiple:
+            rng = self._choice_rng.get(dtype, np.random)
             samples, datasets = [], []
             curr_batch_ratios = np.copy(self.batch_ratios)
             for sess in range(self.n_sessions_per_batch):
                 while True:
                     if np.sum(curr_batch_ratios > 0) < (self.n_sessions_per_batch - sess):
                         return None, None
-                    dataset = int(np.random.choice(
+                    dataset = int(rng.choice(
                         np.arange(self.n_datasets), p=curr_batch_ratios))
                     curr_batch_ratios[dataset] = 0
                     curr_batch_ratios = renormalize(curr_batch_ratios)

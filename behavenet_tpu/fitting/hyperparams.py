@@ -176,17 +176,35 @@ def print_hparams(hparams):
     print('')
 
 
-def run_grid_search(main_fn, hyperparams):
+def run_grid_search(main_fn, hyperparams, script_module=None):
     """Execute every grid trial (replaces test-tube optimize_parallel_*).
 
     Trials are independent processes in the reference; here they run
     sequentially in-process by default (one TPU chip per host). Set
     ``tt_n_cpu_workers > 1`` in the compute config to fan out across local
-    processes for CPU runs.
+    processes for CPU runs; set ``slurm: true`` (plus ``slurm_log_path`` /
+    ``slurm_param_file``) to submit one sbatch job per trial; set
+    ``BEHAVENET_TRIAL_IDX`` in the environment to run a single trial (used
+    by the sbatch scripts).
     """
+    from behavenet_tpu.fitting.slurm import selected_trial_idx, submit_grid_search
+
+    if hyperparams.base.get('slurm') and selected_trial_idx() is None:
+        if script_module is None:
+            import __main__
+            script_module = getattr(__main__, '__spec__', None)
+            script_module = script_module.name if script_module else None
+        submit_grid_search(hyperparams, script_module)
+        return
+
     n_workers = int(hyperparams.base.get('tt_n_cpu_workers', 1) or 1)
     device = hyperparams.base.get('device', 'tpu')
     trials = list(hyperparams.trials())
+    idx = selected_trial_idx()
+    if idx is not None:
+        print('running grid-search trial %i/%i' % (idx, len(trials)))
+        main_fn(trials[idx])
+        return
     print('running %i grid-search trial(s)' % len(trials))
     if n_workers > 1 and device == 'cpu':
         import multiprocessing

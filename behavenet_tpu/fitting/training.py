@@ -283,6 +283,12 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
 
     key = jax.random.PRNGKey(rng_train)
 
+    # profiling hooks: the reference has no perf tooling (SURVEY 5);
+    # we log frames/sec per epoch and can emit a jax profiler trace
+    profile_dir = hparams.get('profile_dir')
+    profiling = False
+    import time as _time
+
     i_epoch = 0
     best_model_saved = False
     dataset = None
@@ -294,8 +300,18 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
         data_generator.reset_iterators('train')
         loss_kwargs = model.loss_kwargs(i_epoch) if hasattr(model, 'loss_kwargs') else {}
 
-        for i_train in range(data_generator.n_tot_batches['train']):
-            data, dataset = data_generator.next_batch('train')
+        if profile_dir and i_epoch == 1:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+
+        t_epoch = _time.perf_counter()
+        n_frames_epoch = 0
+        from behavenet_tpu.data.prefetch import prefetched
+        train_iter = prefetched(
+            lambda: data_generator.next_batch('train'),
+            data_generator.n_tot_batches['train'],
+            depth=int(hparams.get('prefetch_depth', 2)))
+        for i_train, (data, dataset) in enumerate(train_iter):
             if data is not None:
                 batch, ds, seg_lens, _ = _collate(data, dataset, model_class, hparams)
                 ds_idx = 0 if isinstance(ds, list) else ds
@@ -306,6 +322,8 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
                 else:
                     metrics = eval_step(params, sub, batch, loss_kwargs, ds_idx, seg_lens)
                 logger.update_metrics('train', metrics, dataset=ds_idx)
+                first = next(iter(batch.values()))
+                n_frames_epoch += int(first.shape[0])
 
             if (i_train + 1) % data_generator.n_tot_batches['train'] == 0:
                 exp.log(logger.create_metric_row(
@@ -349,6 +367,16 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
                             'val', i_epoch, i_train, d, trial=-1,
                             by_dataset=True, best_epoch=best_val_epoch))
                 exp.save()
+
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print('wrote profiler trace to %s' % profile_dir)
+
+        dt = _time.perf_counter() - t_epoch
+        if i_epoch > 0 and dt > 0:
+            print('epoch %03i/%03i: %.2fs, %.0f frames/sec' % (
+                i_epoch, hparams['max_n_epochs'], dt, n_frames_epoch / dt))
 
         if hparams['enable_early_stop']:
             early_stop.on_val_check(i_epoch, logger.get_loss('val'))

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import logsumexp
 
-__all__ = ['forward', 'backward', 'forward_backward', 'viterbi', 'sample_states',
-           'expected_transitions']
+__all__ = ['forward', 'forward_parallel', 'backward', 'forward_backward', 'viterbi',
+           'sample_states', 'expected_transitions']
 
 
 def _get_log_P(log_P, t):
@@ -176,3 +176,57 @@ def sample_states(key, log_pi0, log_P, T):
     keys = jax.random.split(k_scan, T - 1)
     _, zs = lax.scan(step, z0, keys)
     return jnp.concatenate([z0[None], zs], axis=0).astype(jnp.int32)
+
+
+# ----------------------------------------------------------------- parallel
+# Parallel-prefix message passing: the TPU-native long-sequence story.
+# The forward recursion is a chain of log-space matrix-vector products;
+# reassociating it as a scan over (K, K) matrices with the log-matmul
+# operator makes the time dimension a parallel prefix (depth log T instead
+# of T), and the inner operator runs on the MXU via a max-shifted real
+# matmul. Worth it for long trials (reference NP dataset: 1000-frame
+# trials, docs/source/data_structure.rst:27).
+
+def _log_matmul(A, B):
+    """(..., K, K) log-space matrix product: logsumexp_k A[.., i, k] + B[.., k, j].
+
+    Computed as a max-shifted real matmul so the contraction maps onto the
+    MXU: A (x) B = sA + sB + log(exp(A - sA) @ exp(B - sB)).
+    """
+    sA = jax.lax.stop_gradient(jnp.max(A, axis=-1, keepdims=True))  # (..., K, 1)
+    sB = jax.lax.stop_gradient(jnp.max(B, axis=-2, keepdims=True))  # (..., 1, K)
+    sA = jnp.where(jnp.isfinite(sA), sA, 0.0)
+    sB = jnp.where(jnp.isfinite(sB), sB, 0.0)
+    prod = jnp.einsum('...ik,...kj->...ij', jnp.exp(A - sA), jnp.exp(B - sB))
+    return sA + sB + jnp.log(jnp.maximum(prod, 1e-38))
+
+
+def forward_parallel(log_pi0, log_P, log_lik, mask=None):
+    """Forward pass via ``lax.associative_scan`` (parallel prefix in log space).
+
+    Mathematically identical to :func:`forward` (up to f32 roundoff); use for
+    long trials where the sequential scan's depth dominates. Returns
+    (log_alpha (T, K), log_Z).
+    """
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+
+    # chain elements: M_t(i, j) = log_P(i, j) + log_lik_t(j), t = 1..T-1
+    if log_P.ndim == 2:
+        lp = jnp.broadcast_to(log_P[None], (T - 1, K, K))
+    else:
+        lp = log_P
+    Ms = lp + (log_lik[1:] * mask[1:, None])[:, None, :]
+    # padded steps contribute the identity element of the log-matmul monoid
+    identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
+    Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
+
+    prefix = jax.lax.associative_scan(_log_matmul, Ms)  # (T-1, K, K)
+
+    alpha0 = log_pi0 + log_lik[0] * mask[0]
+    alphas = logsumexp(alpha0[None, :, None] + prefix, axis=1)  # (T-1, K)
+    log_alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+    log_Z = logsumexp(log_alpha[-1])
+    return log_alpha, log_Z

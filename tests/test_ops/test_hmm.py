@@ -121,3 +121,39 @@ class TestSampling:
         n_switches = int(np.sum(np.diff(zs) != 0))
         assert n_switches < 300
         assert set(np.unique(zs)) <= {0, 1}
+
+
+class TestForwardParallel:
+
+    def test_matches_sequential(self):
+        from behavenet_tpu.ops.hmm import forward, forward_parallel
+        for seed in range(3):
+            log_pi0, log_P, log_lik = _random_problem(T=50, K=4, seed=seed)
+            a_seq, z_seq = forward(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+            a_par, z_par = forward_parallel(
+                jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+            assert np.allclose(float(z_seq), float(z_par), atol=1e-3)
+            assert np.allclose(np.asarray(a_seq), np.asarray(a_par), atol=1e-3)
+
+    def test_masked_matches_sequential(self):
+        from behavenet_tpu.ops.hmm import forward, forward_parallel
+        log_pi0, log_P, log_lik = _random_problem(T=32, K=3, seed=5)
+        mask = np.ones(32, dtype=np.float32)
+        mask[20:] = 0
+        _, z_seq = forward(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik),
+                           jnp.array(mask))
+        _, z_par = forward_parallel(jnp.array(log_pi0), jnp.array(log_P),
+                                    jnp.array(log_lik), jnp.array(mask))
+        assert np.allclose(float(z_seq), float(z_par), atol=1e-3)
+
+    def test_time_varying_transitions(self):
+        import numpy as np
+        from behavenet_tpu.ops.hmm import forward, forward_parallel
+        rng = np.random.RandomState(7)
+        T, K = 20, 3
+        log_pi0 = np.log(rng.dirichlet(np.ones(K))).astype(np.float32)
+        log_P = np.log(rng.dirichlet(np.ones(K), size=(T - 1, K))).astype(np.float32)
+        log_lik = rng.randn(T, K).astype(np.float32)
+        _, z_seq = forward(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+        _, z_par = forward_parallel(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+        assert np.allclose(float(z_seq), float(z_par), atol=1e-3)
