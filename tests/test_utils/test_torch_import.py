@@ -144,3 +144,46 @@ class TestTorchImport:
         assert np.allclose(np.asarray(z_jax), z_t.numpy(), atol=1e-4)
         assert np.allclose(
             np.asarray(y_jax), np.transpose(y_t.numpy(), (0, 2, 3, 1)), atol=1e-4)
+
+
+class TestTrainingParity:
+
+    def test_short_training_trajectory_matches_torch(self):
+        """Same init + same batches + Adam(amsgrad): losses match for 5 steps."""
+        hp = build_hparams()
+        torch.manual_seed(0)
+        ref = TorchRefAE(hp)
+
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+        lr = 1e-3
+        import optax
+        tx = optax.amsgrad(lr)
+        opt_state = tx.init(params)
+        opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
+
+        rs = np.random.RandomState(0)
+        losses_jax, losses_torch = [], []
+        for step in range(5):
+            x = rs.rand(8, 32, 24, 1).astype(np.float32)
+            batch = {'images': jnp.asarray(x)}
+
+            def lf(p):
+                return model.loss_fn(p, batch, jax.random.PRNGKey(0))[0]
+            loss, grads = jax.value_and_grad(lf)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            losses_jax.append(float(loss))
+
+            opt_t.zero_grad()
+            xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+            y_t, _ = ref(xt)
+            loss_t = torch.mean((y_t - xt) ** 2)
+            loss_t.backward()
+            opt_t.step()
+            losses_torch.append(float(loss_t))
+
+        assert np.allclose(losses_jax, losses_torch, rtol=1e-3, atol=1e-5), \
+            'jax %s vs torch %s' % (losses_jax, losses_torch)
