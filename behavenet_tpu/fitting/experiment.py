@@ -56,6 +56,12 @@ class Experiment(object):
         os.makedirs(self.version_dir, exist_ok=True)
         self._rows = []
         self._tags = {}
+        # resumed versions keep their logged history
+        metrics_file = os.path.join(self.version_dir, 'metrics.csv')
+        if os.path.exists(metrics_file):
+            with open(metrics_file, newline='') as f:
+                for row in csv.DictReader(f):
+                    self._rows.append({k: v for k, v in row.items() if v != ''})
 
     def log(self, row):
         self._rows.append(dict(row))
@@ -570,6 +576,15 @@ def create_experiment(hparams):
     hparams['expt_dir'] = get_expt_dir(hparams)
     if not os.path.isdir(hparams['expt_dir']):
         os.makedirs(hparams['expt_dir'])
+
+    if hparams.get('resume_version') is not None:
+        # reopen an interrupted version; fit() restores from its checkpoint
+        exp = Experiment(
+            name=hparams['experiment_name'],
+            save_dir=os.path.dirname(hparams['expt_dir']),
+            version=int(hparams['resume_version']))
+        hparams['version'] = exp.version
+        return hparams, sess_ids, exp
 
     if experiment_exists(hparams):
         return None, None, None

@@ -289,10 +289,37 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
     profiling = False
     import time as _time
 
+    # mid-training resume (the reference's acknowledged TODO,
+    # training.py:9): full training state checkpoints each epoch; combined
+    # with per-epoch batching reseeds this makes restarts exact
+    import pickle as _pickle
+    ckpt_file = os.path.join(expt_dir, 'last_checkpoint.pkl')
+    start_epoch = 0
+    if hparams.get('resume_version') is not None and os.path.exists(ckpt_file):
+        with open(ckpt_file, 'rb') as f:
+            ckpt = _pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt['params'])
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            ckpt['opt_state'])
+        key = jnp.asarray(ckpt['key'])
+        best_val_loss = ckpt['best_val_loss']
+        best_val_epoch = ckpt['best_val_epoch']
+        start_epoch = ckpt['epoch'] + 1
+        if os.path.exists(os.path.join(expt_dir, 'best_val_model.pt')):
+            best_params, _ = models_base.load_params(
+                os.path.join(expt_dir, 'best_val_model.pt'))
+            best_model_saved_resume = True
+        else:
+            best_model_saved_resume = False
+        print('resuming from epoch %i' % start_epoch)
+    else:
+        best_model_saved_resume = False
+
     i_epoch = 0
-    best_model_saved = False
+    best_model_saved = best_model_saved_resume
     dataset = None
-    for i_epoch in range(hparams['max_n_epochs'] + 1):
+    for i_epoch in range(start_epoch, hparams['max_n_epochs'] + 1):
         # epoch 0 evaluates the randomly initialized model (reference :320-322)
 
         np.random.seed(rng_train + i_epoch)  # restartable batching order
@@ -377,6 +404,21 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
         if i_epoch > 0 and dt > 0:
             print('epoch %03i/%03i: %.2fs, %.0f frames/sec' % (
                 i_epoch, hparams['max_n_epochs'], dt, n_frames_epoch / dt))
+
+        # full-state checkpoint for exact mid-training resume
+        if hparams.get('checkpoint_interval', 1):
+            if i_epoch % int(hparams.get('checkpoint_interval', 1)) == 0:
+                with open(os.path.join(expt_dir, 'last_checkpoint.pkl'), 'wb') as f:
+                    _pickle.dump({
+                        'params': jax.tree_util.tree_map(np.asarray, params),
+                        'opt_state': jax.tree_util.tree_map(
+                            lambda x: np.asarray(x) if hasattr(x, 'shape') else x,
+                            opt_state),
+                        'key': np.asarray(key),
+                        'epoch': i_epoch,
+                        'best_val_loss': best_val_loss,
+                        'best_val_epoch': best_val_epoch,
+                    }, f)
 
         if hparams['enable_early_stop']:
             early_stop.on_val_check(i_epoch, logger.get_loss('val'))

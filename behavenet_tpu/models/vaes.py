@@ -36,6 +36,19 @@ def reparameterize(key, mu, logvar):
     return eps * std + mu
 
 
+def _decomposed_kl(hparams, z, mu, logvar, frame_mask=None):
+    """Dispatch between the XLA estimator and the fused Pallas kernel.
+
+    ``use_pallas_kl: true`` streams the O(B^2 D) pairwise reduction through
+    VMEM tiles instead of materializing it in HBM — worthwhile for large
+    device batches (SURVEY hard-part: fused single-pass logsumexp).
+    """
+    if hparams.get('use_pallas_kl', False):
+        from behavenet_tpu.ops.pallas.kl_kernels import decomposed_kl_pallas
+        return decomposed_kl_pallas(z, mu, logvar, frame_mask=frame_mask)
+    return losses.decomposed_kl(z, mu, logvar, frame_mask=frame_mask)
+
+
 def _linear_anneal(beta, anneal_epochs, max_n_epochs):
     """Per-epoch schedule arrays matching the reference's precomputation."""
     if anneal_epochs and anneal_epochs > 0:
@@ -160,7 +173,7 @@ class BetaTCVAE(VAE):
         fm = batch.get('frame_mask')
         x_hat, sample, mu, logvar = self.forward(params, x, rng=rng, dataset=dataset)
         loss_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
-        mi, tc, dwkl = losses.decomposed_kl(sample, mu, logvar, frame_mask=fm)
+        mi, tc, dwkl = _decomposed_kl(self.hparams, sample, mu, logvar, frame_mask=fm)
         loss = -loss_ll + kl * mi + beta * tc + kl * dwkl
         n_dims = int(np.prod(x.shape[1:]))
         loss_mse = -(loss_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
@@ -263,8 +276,9 @@ class PSVAE(AE, _PSEncoderMixin):
         loss_label_ll = losses.gaussian_ll(y, y_hat, n, frame_mask=fm)
         loss_zs_kl = losses.kl_div_to_std_normal(
             mu[:, :n_labels], logvar[:, :n_labels], frame_mask=fm)
-        mi, tc, dwkl = losses.decomposed_kl(
-            sample[:, n_labels:], mu[:, n_labels:], logvar[:, n_labels:], frame_mask=fm)
+        mi, tc, dwkl = _decomposed_kl(
+            self.hparams, sample[:, n_labels:], mu[:, n_labels:], logvar[:, n_labels:],
+            frame_mask=fm)
         loss = -loss_data_ll - alpha * loss_label_ll + loss_zs_kl \
             + kl * mi + beta * tc + kl * dwkl
 
@@ -388,8 +402,8 @@ class MSPSVAE(PSVAE):
         loss_label_ll = losses.gaussian_ll(y, y_hat, n, frame_mask=fm)
         loss_zs_kl = losses.kl_div_to_std_normal(
             mu[:, :n_labels], logvar[:, :n_labels], frame_mask=fm)
-        mi, tc, dwkl = losses.decomposed_kl(
-            sample[:, n_labels + n_bg:], mu[:, n_labels + n_bg:],
+        mi, tc, dwkl = _decomposed_kl(
+            self.hparams, sample[:, n_labels + n_bg:], mu[:, n_labels + n_bg:],
             logvar[:, n_labels + n_bg:], frame_mask=fm)
         loss = -loss_data_ll - alpha * loss_label_ll + loss_zs_kl \
             + kl * mi + beta * tc + kl * dwkl

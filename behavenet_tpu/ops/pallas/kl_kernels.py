@@ -1,0 +1,154 @@
+"""Pallas TPU kernel for the minibatch KL-decomposition estimators.
+
+The beta-TCVAE / PS-VAE losses need, per sample j (Chen et al 2018, and the
+reference behavenet/fitting/losses.py:284-351):
+
+    log_qz[j]         = logsumexp_i  sum_l log q(z_j_l | x_i)
+    log_qz_product[j] = sum_l logsumexp_i log q(z_j_l | x_i)
+
+The XLA reference implementation materializes the (B, B, D) pairwise
+log-density tensor — 256 MB of HBM traffic at B=1024, D=64. This kernel
+streams over the i (mixture-component) axis in VMEM-resident tiles with
+running-logsumexp accumulators, so HBM traffic is O(B·D) and the inner
+``(z_j - mu_i)^2`` contraction stays on-chip.
+
+The remaining estimator pieces (the diagonal term and the standard-normal
+log density) are O(B·D) and computed in plain XLA by the wrapper.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['pairwise_log_qz_reductions', 'decomposed_kl_pallas']
+
+LN2PI = float(np.log(2 * np.pi))
+NEG_BIG = -1e30
+
+
+def _kl_kernel(z_ref, mu_ref, logvar_ref, mask_ref, log_qz_ref, log_qz_prod_ref,
+               *, block_i, n_i):
+    """One grid step processes a J-tile of samples against all i-tiles.
+
+    z_ref: (J, D) samples for this tile; mu/logvar/mask: full (B, D)/(B, 1)
+    arrays resident in VMEM; outputs: (J,) accumulators reshaped (J, 1).
+    """
+    z = z_ref[:]                      # (J, D)
+    J, D = z.shape
+
+    def body(i, carry):
+        m_sum, s_sum, m_dim, s_dim = carry
+        mu = mu_ref[pl.ds(i * block_i, block_i), :]       # (I, D)
+        lv = logvar_ref[pl.ds(i * block_i, block_i), :]
+        msk = mask_ref[pl.ds(i * block_i, block_i), :]    # (I, 1)
+
+        # log q(z_j_l | x_i): (J, I, D)
+        diff = z[:, None, :] - mu[None, :, :]
+        log_dens = -0.5 * ((diff * diff) * jnp.exp(-lv)[None] + lv[None] + LN2PI)
+        # exclude padded mixture components
+        log_dens = jnp.where(msk[None, :, :] > 0, log_dens, NEG_BIG)
+
+        # --- streaming logsumexp over i of sum_l log_dens  (J, I)
+        summed = jnp.sum(log_dens, axis=2)
+        blk_max = jnp.max(summed, axis=1)                  # (J,)
+        new_m = jnp.maximum(m_sum, blk_max)
+        s_sum = s_sum * jnp.exp(m_sum - new_m) + \
+            jnp.sum(jnp.exp(summed - new_m[:, None]), axis=1)
+        m_sum = new_m
+
+        # --- streaming per-dim logsumexp over i  (J, D)
+        blk_max_d = jnp.max(log_dens, axis=1)              # (J, D)
+        new_m_d = jnp.maximum(m_dim, blk_max_d)
+        s_dim = s_dim * jnp.exp(m_dim - new_m_d) + \
+            jnp.sum(jnp.exp(log_dens - new_m_d[:, None, :]), axis=1)
+        m_dim = new_m_d
+
+        return m_sum, s_sum, m_dim, s_dim
+
+    init = (jnp.full((J,), NEG_BIG, dtype=jnp.float32),
+            jnp.zeros((J,), dtype=jnp.float32),
+            jnp.full((J, D), NEG_BIG, dtype=jnp.float32),
+            jnp.zeros((J, D), dtype=jnp.float32))
+    m_sum, s_sum, m_dim, s_dim = jax.lax.fori_loop(0, n_i, body, init)
+
+    log_qz_ref[:] = (m_sum + jnp.log(jnp.maximum(s_sum, 1e-38)))[:, None]
+    log_qz_prod_ref[:] = jnp.sum(
+        m_dim + jnp.log(jnp.maximum(s_dim, 1e-38)), axis=1)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=('block_j', 'block_i', 'interpret'))
+def pairwise_log_qz_reductions(z, mu, logvar, frame_mask=None, block_j=128,
+                               block_i=128, interpret=False):
+    """Fused (log_qz, log_qz_product) without materializing the (B,B,D) tensor."""
+    B, D = z.shape
+    # pad B to tile multiples; padded rows are masked out as components and
+    # their outputs discarded
+    Bp = -(-B // max(block_j, block_i)) * max(block_j, block_i)
+    if frame_mask is None:
+        mask = jnp.ones((B,), dtype=jnp.float32)
+    else:
+        mask = frame_mask.astype(jnp.float32)
+    if Bp != B:
+        pad = Bp - B
+        z = jnp.pad(z, ((0, pad), (0, 0)))
+        mu = jnp.pad(mu, ((0, pad), (0, 0)))
+        logvar = jnp.pad(logvar, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
+    mask2 = mask[:, None]
+
+    grid = (Bp // block_j,)
+    n_i = Bp // block_i
+    kernel = functools.partial(_kl_kernel, block_i=block_i, n_i=n_i)
+    log_qz, log_qz_prod = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_j, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_j, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_j, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(z.astype(jnp.float32), mu.astype(jnp.float32),
+      logvar.astype(jnp.float32), mask2)
+    return log_qz[:B, 0], log_qz_prod[:B, 0]
+
+
+def decomposed_kl_pallas(z, mu, logvar, frame_mask=None, interpret=False,
+                         block_j=128, block_i=128):
+    """Drop-in fused replacement for :func:`behavenet_tpu.ops.losses.decomposed_kl`."""
+    log_qz, log_qz_product = pairwise_log_qz_reductions(
+        z, mu, logvar, frame_mask=frame_mask, block_j=block_j, block_i=block_i,
+        interpret=interpret)
+
+    # O(B D) pieces in plain XLA
+    diff_sq = (z - mu) ** 2
+    log_qz_cond = jnp.sum(
+        -0.5 * (jnp.exp(-logvar) * diff_sq + logvar + LN2PI), axis=1)
+    log_pz_product = jnp.sum(-0.5 * (z ** 2 + LN2PI), axis=1)
+
+    if frame_mask is None:
+        mean = jnp.mean
+    else:
+        fm = frame_mask.astype(jnp.float32)
+
+        def mean(v):
+            return jnp.sum(v * fm) / jnp.maximum(jnp.sum(fm), 1.0)
+
+    idx_code_mi = mean(log_qz_cond - log_qz)
+    total_corr = mean(log_qz - log_qz_product)
+    dim_wise_kl = mean(log_qz_product - log_pz_product)
+    return idx_code_mi, total_corr, dim_wise_kl
