@@ -30,7 +30,7 @@ __all__ = [
     'make_interpolated', 'make_interpolated_multipanel',
     'plot_psvae_training_curves', 'plot_hyperparameter_search_results',
     'plot_label_reconstructions', 'plot_latent_traversals', 'make_latent_traversal_movie',
-    'fit_classifier',
+    'fit_classifier', 'plot_mspsvae_training_curves', 'make_session_swap_movie',
 ]
 
 
@@ -756,3 +756,108 @@ def fit_classifier(model_or_latents, datasets_or_labels, **kwargs):
     scores = cross_val_score(clf, latents, labels, cv=5)
     clf.fit(latents, labels)
     return clf, float(np.mean(scores))
+
+
+def plot_mspsvae_training_curves(hparams, alpha, beta, delta, rng_seed_model, n_latents,
+                                 n_background, n_labels, lab=None, expt=None, dtype='val',
+                                 version_dir=None, save_file=None, format='pdf', **kwargs):
+    """MSPS-VAE training curves for every objective term (reference :2516-2612).
+
+    Plots total loss, pixel MSE, label R^2, supervised-KL, unsupervised
+    MI/TC/DWKL and the triplet term as a function of epoch.
+    """
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    import seaborn as sns
+
+    metrics_list = ['loss', 'loss_data_mse', 'label_r2', 'loss_zs_kl',
+                    'loss_zu_mi', 'loss_zu_tc', 'loss_zu_dwkl', 'loss_triplet']
+
+    hparams_ = copy.deepcopy(hparams)
+    hparams_.update(kwargs)
+    hparams_['ps_vae.alpha'] = alpha
+    hparams_['ps_vae.beta'] = beta
+    hparams_['ps_vae.delta'] = delta
+    hparams_['rng_seed_model'] = rng_seed_model
+    hparams_['n_ae_latents'] = n_latents + n_background + n_labels
+    hparams_['n_background'] = n_background
+
+    df = load_metrics_csv_as_df(
+        hparams_, lab or hparams_.get('lab'), expt or hparams_.get('expt'),
+        metrics_list, version=None, version_dir=version_dir)
+
+    sns.set_style('white')
+    data_queried = df[(df.epoch > 0) & ~pd.isna(df.val) & (df.dtype == dtype)]
+    g = sns.FacetGrid(data_queried, col='loss', hue='dataset', sharey=False, col_wrap=3)
+    g = g.map(plt.plot, 'epoch', 'val').add_legend()
+    if save_file is not None:
+        make_dir_if_not_exists(save_file)
+        g.savefig(save_file + '.' + format, dpi=300)
+    return g
+
+
+def make_session_swap_movie(sess_ids, hparams, version, n_labels, n_background, sess_idx,
+                            trials, trial_idxs=None, n_buffer_frames=5, frame_rate=15,
+                            layout_pattern=None, save_file=None, **kwargs):
+    """Panel movie reconstructing one session's frames with other sessions'
+    background context (reference :3030-3156).
+
+    For each panel s, the background subspace of the transformed latents is
+    replaced by session s's median background embedding before inverse
+    transform + decoding — visualizing what the MSPS-VAE attributes to
+    session identity.
+    """
+    import jax
+
+    from behavenet_tpu.fitting.experiment import get_best_model_and_data
+    from behavenet_tpu.plotting.ae_utils import make_reconstruction_movie
+
+    panel_titles = ['Original'] + ['Transfer %i' % i for i in range(len(sess_ids) - 1)]
+
+    hp = copy.deepcopy(hparams)
+    hp.update(kwargs)
+    hp['n_sessions_per_batch'] = 1
+    model, params, data_generator = get_best_model_and_data(hp, Model=None, version=version)
+
+    background_idxs = np.arange(n_labels, n_labels + n_background)
+    background_medians = []
+    for s in range(len(sess_ids)):
+        latent_range = get_input_range(
+            'latents', hp, sess_ids=sess_ids, sess_idx=s, model=model, params=params,
+            data_gen=data_generator, min_p=15, max_p=85, version=version)
+        background_medians.append(latent_range['med'][background_idxs])
+
+    if trial_idxs is None:
+        trial_idxs = [None] * len(trials)
+
+    ims_panels = [[] for _ in range(len(sess_ids) + 1)]
+    for trial_idx, trial in zip(trial_idxs, trials):
+        if trial is None:
+            trial = int(data_generator.datasets[sess_idx].batch_idxs['test'][trial_idx or 0])
+        batch = data_generator.datasets[sess_idx][int(trial)]
+        ims_orig = batch['images'][:400].astype('float32') / 255.0  # NHWC
+        latents_tr = np.asarray(model.get_transformed_latents(
+            params, ims_orig, dataset=sess_idx))
+
+        ims_panels[0].append(np.transpose(ims_orig, (0, 3, 1, 2)))
+        for s in range(len(sess_ids)):
+            lat_s = np.copy(latents_tr)
+            lat_s[:, background_idxs] = background_medians[s]
+            recon = get_reconstruction(
+                model, params, lat_s, apply_inverse_transform=True, dataset=sess_idx)
+            ims_panels[s + 1].append(np.transpose(np.asarray(recon), (0, 3, 1, 2)))
+
+        # blank buffer frames between trials
+        shape = ims_panels[0][-1].shape
+        blank = np.zeros((n_buffer_frames,) + shape[1:], dtype='float32')
+        for p in range(len(ims_panels)):
+            ims_panels[p].append(blank.copy())
+
+    ims = [np.concatenate(p, axis=0) for p in ims_panels]
+    n_panels = len(ims)
+    n_cols = int(np.ceil(np.sqrt(n_panels)))
+    n_rows = int(np.ceil(n_panels / n_cols))
+    titles = ['Original'] + ['Session %i background' % s for s in range(len(sess_ids))]
+    return make_reconstruction_movie(
+        ims=ims, titles=titles[:n_panels], n_rows=n_rows, n_cols=n_cols,
+        save_file=save_file, frame_rate=frame_rate)
