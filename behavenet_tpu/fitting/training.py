@@ -191,6 +191,35 @@ def make_train_functions(model, hparams):
     return tx, train_step, eval_step
 
 
+def make_multi_step(model, hparams, tx):
+    """k optimizer steps per device dispatch via lax.scan over stacked batches.
+
+    Semantically identical to k sequential train steps (one trial = one
+    optimizer step, reference contract preserved); amortizes per-dispatch
+    host/RPC overhead, which dominates small trial batches. Batches in the
+    stack must share shapes (length bucketing makes this the common case).
+    """
+
+    def multi_step(params, opt_state, rngs, batch_stack, loss_kwargs, dataset):
+        def body(carry, inp):
+            params, opt_state = carry
+            rng, batch = inp
+            batch = _normalize_images(batch)
+
+            def lf(p):
+                return model.loss_fn(p, batch, rng, dataset=dataset, **loss_kwargs)
+            (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), (rngs, batch_stack))
+        return params, opt_state, metrics
+
+    return jax.jit(multi_step, static_argnames=('dataset',), donate_argnums=(0, 1))
+
+
 def _bucket_batch(batch, bucket):
     """Pad the frame axis up to the next multiple of ``bucket``; add frame_mask.
 

@@ -107,3 +107,42 @@ class TestBucketEquivalence:
         # context -> compare loss on the valid interior
         assert np.allclose(float(m_exact['loss']), float(m_buck['loss']), atol=1e-4)
         assert np.allclose(float(m_exact['r2']), float(m_buck['r2']), atol=1e-4)
+
+
+class TestMultiStep:
+
+    def test_multi_step_equals_sequential_steps(self):
+        """k-step scan dispatch must reproduce k sequential train steps."""
+        from behavenet_tpu.fitting.training import make_multi_step, make_train_functions
+        hp = make_hp('ae')
+        hp['learning_rate'] = 1e-3
+        model = AE(hp)
+        tx, train_step, _ = make_train_functions(model, hp)
+        multi = make_multi_step(model, hp, tx)
+
+        params = model.init(jax.random.PRNGKey(0))
+        opt_state = tx.init(params)
+        rs = np.random.RandomState(0)
+        K = 3
+        xs = jnp.asarray(rs.rand(K, 8, 32, 24, 1), dtype=jnp.float32)
+        rngs = jax.random.split(jax.random.PRNGKey(1), K)
+
+        # sequential (deep copies: the jitted steps donate their inputs)
+        def copy_tree(t):
+            return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), t)
+        p_seq, o_seq = copy_tree(params), copy_tree(opt_state)
+        losses_seq = []
+        for i in range(K):
+            p_seq, o_seq, m = train_step(
+                p_seq, o_seq, rngs[i], {'images': xs[i]}, {}, 0, None)
+            losses_seq.append(float(m['loss']))
+
+        # one dispatch
+        p_multi, o_multi, metrics = multi(
+            params, opt_state, rngs, {'images': xs}, {}, 0)
+        losses_multi = [float(v) for v in np.asarray(metrics['loss'])]
+
+        assert np.allclose(losses_seq, losses_multi, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_seq),
+                        jax.tree_util.tree_leaves(p_multi)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
