@@ -86,7 +86,10 @@ class ConvEncoder:
             }
             self.layers.append(spec)
             if hparams.get('ae_batch_norm'):
-                raise NotImplementedError('batch norm not yet supported in TPU rebuild')
+                # batch-statistics BN (track_running_stats=False semantics)
+                self.layers.append({
+                    'type': 'bn', 'name': 'bn_%d' % i,
+                    'ch': int(hparams['ae_encoding_n_channels'][i])})
             if i < n - 1 and layer_types[i + 1] == 'maxpool':
                 self.layers.append({
                     'type': 'maxpool',
@@ -105,6 +108,10 @@ class ConvEncoder:
         params = {}
         keys = jax.random.split(key, len(self.layers) + 2)
         for spec, k in zip(self.layers, keys):
+            if spec['type'] == 'bn':
+                params[spec['name']] = {
+                    'gamma': jnp.ones((spec['ch'],)), 'beta': jnp.zeros((spec['ch'],))}
+                continue
             if spec['type'] != 'conv':
                 continue
             if spec['sess_io']:
@@ -135,6 +142,9 @@ class ConvEncoder:
             elif spec['type'] == 'maxpool':
                 x, idx = ops.max_pool2d_with_indices(x, ceil_mode=spec['ceil'])
                 pool_idx.append(idx)
+            elif spec['type'] == 'bn':
+                p = params[spec['name']]
+                x = ops.batch_norm(x, p['gamma'], p['beta'])
             else:
                 x = ops.leaky_relu(x)
         x = x.reshape(x.shape[0], -1)
@@ -200,6 +210,10 @@ class ConvDecoder:
                 'k': k, 'stride': s, 'pad_y': py, 'pad_x': px, 'out_pad': out_pad,
                 'sess_io': self.sess_io and (i == n - 1) and not self.last_ff,
             })
+            if hparams.get('ae_batch_norm') and not is_last:
+                self.layers.append({
+                    'type': 'bn', 'name': 'bn_%d' % i,
+                    'ch': int(hparams['ae_decoding_n_channels'][i])})
             self.layers.append({'type': 'sigmoid' if is_last else 'relu'})
 
         if self.last_ff:
@@ -218,6 +232,10 @@ class ConvDecoder:
         params['fc'] = base.init_linear(
             keys[-1], self.hidden_layer_size, int(np.prod(self.starting_dim)))
         for spec, k in zip(self.layers, keys):
+            if spec['type'] == 'bn':
+                params[spec['name']] = {
+                    'gamma': jnp.ones((spec['ch'],)), 'beta': jnp.zeros((spec['ch'],))}
+                continue
             if spec['type'] == 'convtranspose':
                 if spec['sess_io']:
                     subkeys = jax.random.split(k, self.n_datasets)
@@ -250,6 +268,9 @@ class ConvDecoder:
             elif spec['type'] == 'unpool':
                 idx = pool_stack.pop(-1)
                 x = ops.max_unpool2d(x, idx, spec['out_hw'])
+            elif spec['type'] == 'bn':
+                p = params[spec['name']]
+                x = ops.batch_norm(x, p['gamma'], p['beta'])
             elif spec['type'] == 'relu':
                 x = ops.leaky_relu(x)
             elif spec['type'] == 'sigmoid':

@@ -144,6 +144,19 @@ def max_unpool2d(x, indices, out_hw):
     return out.reshape(n, oh, ow, c)
 
 
+def batch_norm(x, gamma, beta, eps=1e-5):
+    """Batch normalization over (N, H, W) per channel using batch statistics.
+
+    Matches torch BatchNorm2d with ``track_running_stats=False`` (the
+    reference exposes this via hparams, aes.py:95): batch statistics are
+    used at train and eval time; no running averages.
+    """
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return gamma * (x - mean) * jax.lax.rsqrt(var + eps) + beta
+
+
 def leaky_relu(x, negative_slope=0.05):
     """LeakyReLU with the reference's slope of 0.05 (aes.py:114)."""
     return jnp.where(x >= 0, x, negative_slope * x)

@@ -310,3 +310,33 @@ class TestMSPSVAE:
                'n_sessions_per_batch': 1})
         with pytest.raises(ValueError):
             MSPSVAE(hp)
+
+
+class TestBatchNorm:
+
+    def test_batch_norm_arch(self):
+        hp = make_hparams(ae_batch_norm=True)
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        assert 'bn_0' in params['encoder']
+        assert 'bn_0' in params['decoder']
+        # last decoder layer has no bn (reference aes.py:326-330)
+        n_dec = len(hp['ae_decoding_n_channels'])
+        assert 'bn_%d' % (n_dec - 1) not in params['decoder']
+        x = jnp.array(np.random.RandomState(0).rand(6, 32, 24, 1), dtype=jnp.float32)
+        y, z = model.forward(params, x)
+        assert y.shape == (6, 32, 24, 1)
+        loss, _ = model.loss_fn(params, {'images': x}, jax.random.PRNGKey(1))
+        grads = jax.grad(lambda p: model.loss_fn(p, {'images': x},
+                                                 jax.random.PRNGKey(1))[0])(params)
+        gnorm = float(jnp.abs(grads['encoder']['bn_0']['gamma']).max())
+        assert np.isfinite(float(loss)) and gnorm > 0
+
+    def test_batch_norm_normalizes(self):
+        from behavenet_tpu.ops.conv import batch_norm
+        x = jnp.array(np.random.RandomState(0).randn(10, 8, 8, 4) * 5 + 3,
+                      dtype=jnp.float32)
+        out = batch_norm(x, jnp.ones(4), jnp.zeros(4))
+        out = np.asarray(out)
+        assert np.allclose(out.mean(axis=(0, 1, 2)), 0, atol=1e-4)
+        assert np.allclose(out.std(axis=(0, 1, 2)), 1, atol=1e-2)
