@@ -47,29 +47,38 @@ def simulate_trial(rng, T=TRIAL_LEN):
     return frames, neural.astype(np.float32), labels
 
 
-def main(data_dir):
-    rng = np.random.RandomState(0)
-    hdf5 = os.path.join(data_dir, LAB, EXPT, ANIMAL, SESSION, 'data.hdf5')
-    os.makedirs(os.path.dirname(hdf5), exist_ok=True)
-    with h5py.File(hdf5, 'w', libver='latest') as f:
-        f.swmr_mode = True
-        gi = f.create_group('images')
-        gn = f.create_group('neural')
-        gl = f.create_group('labels')
-        gr = f.create_group('regions').create_group('indxs')
-        gr.create_dataset('region-0', data=np.arange(N_NEURONS // 2))
-        gr.create_dataset('region-1', data=np.arange(N_NEURONS // 2, N_NEURONS))
-        for i in range(N_TRIALS):
-            frames, neural, labels = simulate_trial(rng)
-            gi.create_dataset('trial_%04i' % i, data=frames, dtype='uint8')
-            gn.create_dataset('trial_%04i' % i, data=neural, dtype='float32')
-            gl.create_dataset('trial_%04i' % i, data=labels, dtype='float32')
-    print('wrote %s (%i trials of %i frames)' % (hdf5, N_TRIALS, TRIAL_LEN))
-    return hdf5
+def main(data_dir, n_sessions=1):
+    paths = []
+    for s_idx in range(n_sessions):
+        rng = np.random.RandomState(s_idx)
+        session = 'session-%02i' % s_idx
+        hdf5 = os.path.join(data_dir, LAB, EXPT, ANIMAL, session, 'data.hdf5')
+        os.makedirs(os.path.dirname(hdf5), exist_ok=True)
+        with h5py.File(hdf5, 'w', libver='latest') as f:
+            f.swmr_mode = True
+            gi = f.create_group('images')
+            gn = f.create_group('neural')
+            gl = f.create_group('labels')
+            gr = f.create_group('regions').create_group('indxs')
+            gr.create_dataset('region-0', data=np.arange(N_NEURONS // 2))
+            gr.create_dataset('region-1', data=np.arange(N_NEURONS // 2, N_NEURONS))
+            for i in range(N_TRIALS):
+                frames, neural, labels = simulate_trial(rng)
+                # give each session a distinct background brightness so the
+                # MSPS-VAE's background subspace has something to learn
+                frames = np.clip(
+                    frames.astype(int) + 20 * s_idx, 0, 255).astype(np.uint8)
+                gi.create_dataset('trial_%04i' % i, data=frames, dtype='uint8')
+                gn.create_dataset('trial_%04i' % i, data=neural, dtype='float32')
+                gl.create_dataset('trial_%04i' % i, data=labels, dtype='float32')
+        print('wrote %s (%i trials of %i frames)' % (hdf5, N_TRIALS, TRIAL_LEN))
+        paths.append(hdf5)
+    return paths
 
 
 if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--data_dir', default='/tmp/bntpu/data')
+    parser.add_argument('--n_sessions', default=1, type=int)
     args = parser.parse_args()
-    main(args.data_dir)
+    main(args.data_dir, args.n_sessions)
