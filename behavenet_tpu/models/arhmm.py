@@ -414,7 +414,45 @@ class ARHMM:
                 jnp.clip(wsum[:, None, None], 1e-8)
             new['Sigmas'] = Sig + 1e-6 * jnp.eye(D)[None]
 
+        # ---- M-step: Student's-t degrees of freedom (scale-mixture EM)
+        if self.robust:
+            new['nus'] = self._m_step_nu(params, x, mask, gammas)
+
         return new, total_ll
+
+    def _m_step_nu(self, params, x, mask, gammas):
+        """Newton update of per-state dof: solve the t-dist EM stationarity
+        condition  log(nu/2) - digamma(nu/2) + 1 + E_w[log tau - tau] +
+        digamma((nu+D)/2) - log((nu+D)/2) = 0.
+        """
+        from jax.scipy.special import digamma
+
+        D = self.D
+        taus = self._tau_weights(params, x, mask)        # (N, T, K)
+        w = gammas * mask[:, :, None]
+        wsum = jnp.clip(jnp.sum(w, axis=(0, 1)), 1e-8)   # (K,)
+        # E[log tau] under the gamma posterior = digamma((nu+D)/2) - log((nu+maha)/2)
+        # and tau itself is the posterior mean; both are summarized via taus:
+        nus = jnp.clip(params['nus'], 1e-2)
+        e_log_tau = digamma(0.5 * (nus + D))[None, None, :] + jnp.log(taus) \
+            - jnp.log(0.5 * (nus + D))[None, None, :]
+        # Q-maximization constant: 1 + E_w[E[log tau] - E[tau]] (e_log_tau is
+        # already the full posterior expectation — no Liu-Rubin log-u correction)
+        c = 1.0 + jnp.sum(w * (e_log_tau - taus), axis=(0, 1)) / wsum  # (K,)
+
+        def newton(nu, _):
+            half = 0.5 * nu
+            f = jnp.log(half) - digamma(half) + c
+            # d/dnu [log(nu/2) - digamma(nu/2)] = 1/nu - polygamma(1, nu/2)/2
+            eps = 1e-3 * nu
+            half2 = 0.5 * (nu + eps)
+            f2 = jnp.log(half2) - digamma(half2) + c
+            grad = (f2 - f) / eps
+            nu_new = nu - f / jnp.where(jnp.abs(grad) > 1e-12, grad, -1e-12)
+            return jnp.clip(nu_new, 1.0, 200.0), None
+
+        nus_new, _ = jax.lax.scan(newton, nus, None, length=10)
+        return nus_new
 
     def _tau_weights(self, params, x, mask):
         """E[tau] for Student's t scale-mixture EM: (N, T, K)."""

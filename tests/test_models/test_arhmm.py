@@ -181,3 +181,37 @@ class TestARHMM:
             ARHMM(K=2, D=2, observations='bogus')
         with pytest.raises(ValueError):
             ARHMM(K=2, D=2, transitions='bogus')
+
+
+class TestStudentstNu:
+
+    def test_nu_adapts_to_heavy_tails(self):
+        """Heavy-tailed data should drive nu down; clean data keeps nu high."""
+        rng = np.random.RandomState(0)
+        mus = np.array([[-3.0, -3.0], [3.0, 3.0]])
+        z = np.zeros(600, dtype=int)
+        for t in range(1, 600):
+            z[t] = z[t - 1] if rng.rand() < 0.95 else 1 - z[t - 1]
+        # t-distributed noise with 3 dof (heavy tails)
+        x_heavy = (mus[z] + 0.5 * rng.standard_t(3, size=(600, 2))).astype(np.float32)
+        x_clean = (mus[z] + 0.5 * rng.randn(600, 2)).astype(np.float32)
+
+        nus = {}
+        for name, x in (('heavy', x_heavy), ('clean', x_clean)):
+            hmm = ARHMM(K=2, D=2, lags=0, observations='studentst', nu=20.0, rng_seed=0)
+            hmm.initialize([x])
+            hmm.fit([x], num_iters=15)
+            nus[name] = float(np.mean(np.asarray(hmm.params['nus'])))
+        assert nus['heavy'] < nus['clean'], nus
+        assert nus['heavy'] < 15.0, nus
+
+    def test_nu_update_keeps_ll_improving(self):
+        x, z_true = make_gaussian_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=0, observations='studentst', rng_seed=0)
+        hmm.initialize([x])
+        lls = []
+        for _ in range(10):
+            lls += hmm.fit([x], num_iters=1)
+        lls = np.array(lls)
+        assert np.isfinite(lls).all()
+        assert lls[-1] > lls[0]
