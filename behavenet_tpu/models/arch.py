@@ -88,6 +88,13 @@ def get_handcrafted_dims(arch, symmetric=True):
             in_x, kernel, stride, arch['ae_padding_type'], layer_type)
         out_y, y0, y1 = calculate_output_dim(
             in_y, kernel, stride, arch['ae_padding_type'], layer_type)
+        if out_x < 1 or out_y < 1:
+            raise ValueError(
+                'architecture collapses to %ix%i at encoding layer %i '
+                '(%s, kernel %i, stride %i, %s padding, input %ix%i); '
+                'remove layers or reduce strides' % (
+                    out_y, out_x, i, layer_type, kernel, stride,
+                    arch['ae_padding_type'], in_y, in_x))
         arch['ae_encoding_x_dim'].append(out_x)
         arch['ae_encoding_y_dim'].append(out_y)
         arch['ae_encoding_x_padding'].append((x0, x1))

@@ -63,6 +63,15 @@ class TestDefaultArch:
         assert a['ae_decoding_y_dim'][-1] == 96
         assert a['ae_decoding_n_channels'][-1] == 2
 
+    def test_degenerate_arch_raises(self):
+        """Too many valid-padding stride-2 layers for a small input: clear
+        build-time error rather than an opaque XLA shape failure."""
+        a = arch.load_default_arch()
+        a['ae_input_dim'] = [1, 32, 24]
+        a['ae_padding_type'] = 'valid'
+        with pytest.raises(ValueError, match='collapses'):
+            arch.get_handcrafted_dims(a)
+
 
 class TestRandomArchs:
 
