@@ -119,6 +119,15 @@ def main(hparams, *args):
         for d in range(n_datasets):
             n_datapoints_sess[dtype][d] = int(np.vstack(latents_sess[d][dtype]).size)
 
+    # data-parallel EM over all local devices (trials sharded, M-step
+    # statistics psum over ICI); a single device degenerates to plain EM
+    mesh = None
+    import jax
+    if len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        print('sharding EM over %i devices' % len(jax.devices()))
+
     val_ll_prev = np.inf
     tolerance = hparams.get('arhmm_es_tol', 0)
     epoch = 0
@@ -126,7 +135,8 @@ def main(hparams, *args):
         # epoch 0 evaluates the initialized model (reference :164-168)
         print('epoch %03i/%03i' % (epoch, hparams['n_iters']))
         if epoch > 0:
-            hmm.fit(latents['train'], method='em', num_iters=1, initialize=False)
+            hmm.fit(latents['train'], method='em', num_iters=1, initialize=False,
+                    mesh=mesh)
 
         tr_ll = -hmm.log_likelihood(latents['train']) / n_datapoints['train']
         val_ll = -hmm.log_likelihood(latents['val']) / n_datapoints['val']

@@ -28,7 +28,14 @@ import optax
 
 from behavenet_tpu.models import base as models_base
 
-__all__ = ['Logger', 'EarlyStopping', 'fit']
+__all__ = ['Logger', 'EarlyStopping', 'fit', 'print_epoch']
+
+
+def print_epoch(curr, total):
+    """Pretty-print epoch counter with width matched to ``total``
+    (reference behavenet/fitting/training.py:464-478)."""
+    width = max(1, len(str(int(total))))
+    print(('epoch %%0%ii/%%0%ii' % (width, width)) % (curr, total))
 
 
 class Logger(object):

@@ -396,8 +396,15 @@ class ARHMM:
 
         XtWX = jnp.einsum('np,nk,nq->kpq', Xf, Wf, Xf)  # (K, P, P)
         XtWY = jnp.einsum('np,nk,nd->kpd', Xf, Wf, Yf)  # (K, P, D)
-        reg = 1e-4 * jnp.eye(Pdim)
-        beta = jnp.linalg.solve(XtWX + reg[None], XtWY)  # (K, P, D)
+        # Jacobi-equilibrated ridge solve: real AE latents mix a ones column
+        # with tiny-variance dims and occasional large outliers, driving
+        # cond(XtWX) past what f32 can solve (observed ~1e11). Rescaling to
+        # correlation form bounds the condition number by the feature
+        # correlations, and the ridge is then a clean relative 1e-5.
+        s = 1.0 / jnp.sqrt(jnp.clip(
+            jnp.diagonal(XtWX, axis1=1, axis2=2), 1e-8))  # (K, P)
+        A = XtWX * s[:, :, None] * s[:, None, :] + 1e-5 * jnp.eye(Pdim)[None]
+        beta = s[:, :, None] * jnp.linalg.solve(A, XtWY * s[:, :, None])  # (K, P, D)
         if lags > 0:
             new['As'] = jnp.transpose(beta[:, :-1, :], (0, 2, 1))  # (K, D, D*lags)
         new['bs'] = beta[:, -1, :]
@@ -412,7 +419,12 @@ class ARHMM:
         else:
             Sig = jnp.einsum('nk,nkd,nke->kde', Wf, resid, resid) / \
                 jnp.clip(wsum[:, None, None], 1e-8)
-            new['Sigmas'] = Sig + 1e-6 * jnp.eye(D)[None]
+            # symmetrize + scale-relative jitter so the next E-step's cholesky
+            # stays PSD under f32 accumulation (sharded reductions reorder sums)
+            Sig = 0.5 * (Sig + jnp.swapaxes(Sig, 1, 2))
+            jit_eps = 1e-6 * (1.0 + jnp.max(
+                jnp.diagonal(Sig, axis1=1, axis2=2), axis=1))  # (K,)
+            new['Sigmas'] = Sig + jit_eps[:, None, None] * jnp.eye(D)[None]
 
         # ---- M-step: Student's-t degrees of freedom (scale-mixture EM)
         if self.robust:
@@ -513,8 +525,18 @@ class ARHMM:
         new.update(trans)
         return new
 
-    def fit(self, datas, method='em', num_iters=1, initialize=False, tolerance=0.0):
-        """Run EM iterations (ssm.HMM.fit API subset). Returns per-iter lls."""
+    def fit(self, datas, method='em', num_iters=1, initialize=False, tolerance=0.0,
+            mesh=None):
+        """Run EM iterations (ssm.HMM.fit API subset). Returns per-iter lls.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — trials are sharded across
+        its first axis (data-parallel EM). The E-step is independent per
+        trial; the M-step's sufficient statistics are global sums over
+        (trial, time), which XLA lowers to ``psum`` collectives over ICI.
+        The trial count is padded to a mesh multiple with fully-masked
+        trials, which are exactly inert in every update (zero posterior
+        weight, zero transition counts, log_Z == 0).
+        """
         if method != 'em':
             raise NotImplementedError('only EM fitting is supported')
         if not isinstance(datas, (list, tuple)):
@@ -522,6 +544,18 @@ class ARHMM:
         if initialize:
             self.initialize(datas)
         x, mask = _pad_datas(datas)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            n_dev = mesh.devices.size
+            pad_n = (-x.shape[0]) % n_dev
+            if pad_n:
+                x = jnp.concatenate([x, jnp.zeros((pad_n,) + x.shape[1:], x.dtype)])
+                mask = jnp.concatenate(
+                    [mask, jnp.zeros((pad_n,) + mask.shape[1:], mask.dtype)])
+            x = jax.device_put(x, NamedSharding(mesh, P(axis)))
+            mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
         if self._fit_step is None:
             self._fit_step = jax.jit(self._em_step)
         lls = []

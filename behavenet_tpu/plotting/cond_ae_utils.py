@@ -131,6 +131,103 @@ def get_input_range(input_type, hparams, sess_ids=None, sess_idx=0, model=None,
     return compute_range(inputs, min_p=min_p, max_p=max_p)
 
 
+def apply_masks(data, masks):
+    """Rows of ``data`` where ``masks == 1`` (reference :1230-1231)."""
+    return data[masks == 1]
+
+
+def get_labels_2d_for_trial(hparams, sess_ids, trial=None, trial_idx=None, sess_idx=0,
+                            dtype='test', data_gen=None):
+    """Scaled (pixel-space) 2d labels for one trial (reference :181-231).
+
+    Returns ``(labels_2d, labels_2d)`` — the reference returns a
+    (torch, numpy) pair; here both slots hold the same NHWC numpy array so
+    positional unpacking in ported analysis code keeps working.
+    """
+    if (trial_idx is not None) and (trial is not None):
+        raise ValueError('only one of "trial" or "trial_idx" can be specified')
+
+    if data_gen is None:
+        from behavenet_tpu.data.utils import build_data_generator
+        hparams_new = copy.deepcopy(hparams)
+        hparams_new['conditional_encoder'] = True  # ensure scaled labels load
+        hparams_new['device'] = 'cpu'
+        hparams_new['as_numpy'] = True
+        hparams_new['batch_load'] = True
+        data_gen = build_data_generator(hparams_new, sess_ids, export_csv=False)
+
+    if trial is None:
+        trial = data_gen.datasets[sess_idx].batch_idxs[dtype][trial_idx]
+    batch = data_gen.datasets[sess_idx][trial]
+    labels_2d = np.asarray(batch['labels_sc'])
+    return labels_2d, labels_2d
+
+
+def get_model_input(data_generator, hparams, model, params=None, trial=None,
+                    trial_idx=None, sess_idx=0, max_frames=200, compute_latents=False,
+                    compute_2d_labels=True, compute_scaled_labels=False,
+                    mask_labels=False, dtype='test'):
+    """Images, latents, and labels for a given trial (reference :233-345).
+
+    Returns the reference's 7-tuple
+    ``(ims, ims, latents, labels, labels, labels_2d, labels_2d)`` — torch/numpy
+    slots are collapsed to the same numpy arrays (images NHWC uint8).
+    """
+    if (trial_idx is not None) and (trial is not None):
+        raise ValueError('only one of "trial" or "trial_idx" can be specified')
+    if (trial_idx is None) and (trial is None):
+        raise ValueError('one of "trial" or "trial_idx" must be specified')
+
+    if trial is None:
+        trial = data_generator.datasets[sess_idx].batch_idxs[dtype][trial_idx]
+    batch = data_generator.datasets[sess_idx][int(trial)]
+    ims = np.asarray(batch['images'][:max_frames])
+
+    mc = hparams['model_class']
+    if mc in ('ae', 'vae', 'beta-tcvae'):
+        labels = None
+    elif mc in ('cond-ae', 'cond-vae', 'cond-ae-msp', 'ps-vae', 'msps-vae',
+                'labels-images'):
+        labels = np.asarray(batch['labels'][:max_frames])
+        if mask_labels and 'labels_masks' in batch:
+            masks = np.asarray(batch['labels_masks'][:max_frames])
+            labels = labels.copy()
+            labels[masks == 0] = np.nan
+    else:
+        raise NotImplementedError(mc)
+
+    if hparams.get('conditional_encoder'):
+        labels_2d = np.asarray(batch['labels_sc'][:max_frames])
+    elif compute_2d_labels:
+        from behavenet_tpu.fitting.experiment import get_session_dir
+        hparams['session_dir'], sess_ids = get_session_dir(hparams)
+        labels_2d, _ = get_labels_2d_for_trial(hparams, sess_ids, trial=int(trial))
+        labels_2d = labels_2d[:max_frames]
+    elif compute_scaled_labels:
+        import h5py
+        hdf5_file = data_generator.datasets[sess_idx].paths['labels']
+        with h5py.File(hdf5_file, 'r', libver='latest', swmr=True) as f:
+            labels_2d = f['labels_sc']['trial_%04i' % trial][()].astype(
+                'float32')[:max_frames]
+    else:
+        labels_2d = None
+
+    if compute_latents:
+        x = ims.astype('float32') / 255.0 if ims.dtype == np.uint8 else ims
+        if mc in ('cond-ae-msp', 'ps-vae', 'msps-vae'):
+            latents = np.asarray(
+                model.get_transformed_latents(params, x, dataset=sess_idx))
+        else:
+            _, latents = get_reconstruction(
+                model, params, x, dataset=sess_idx, labels=labels,
+                labels_2d=labels_2d, return_latents=True)
+            latents = np.asarray(latents)
+    else:
+        latents = None
+
+    return ims, ims, latents, labels, labels, labels_2d, labels_2d
+
+
 def _get_updated_scaled_labels(labels_og, idxs=None, vals=None):
     """Pixel-space labels with selected entries overwritten (reference :846-874)."""
     if labels_og is None:

@@ -44,7 +44,9 @@ def simulate_trial(rng, T=TRIAL_LEN):
     W = rng.randn(2, N_NEURONS) * 0.8
     neural = x @ W + 0.3 * rng.randn(T, N_NEURONS)
     labels = x.astype(np.float32)
-    return frames, neural.astype(np.float32), labels
+    # pixel-space marker coordinates (x first, then y: MakeOneHot2D order)
+    labels_sc = np.stack([pos[:, 1], pos[:, 0]], axis=1).astype(np.float32)
+    return frames, neural.astype(np.float32), labels, labels_sc
 
 
 def main(data_dir, n_sessions=1):
@@ -59,11 +61,12 @@ def main(data_dir, n_sessions=1):
             gi = f.create_group('images')
             gn = f.create_group('neural')
             gl = f.create_group('labels')
+            gs = f.create_group('labels_sc')
             gr = f.create_group('regions').create_group('indxs')
             gr.create_dataset('region-0', data=np.arange(N_NEURONS // 2))
             gr.create_dataset('region-1', data=np.arange(N_NEURONS // 2, N_NEURONS))
             for i in range(N_TRIALS):
-                frames, neural, labels = simulate_trial(rng)
+                frames, neural, labels, labels_sc = simulate_trial(rng)
                 # give each session a distinct background brightness so the
                 # MSPS-VAE's background subspace has something to learn
                 frames = np.clip(
@@ -71,6 +74,7 @@ def main(data_dir, n_sessions=1):
                 gi.create_dataset('trial_%04i' % i, data=frames, dtype='uint8')
                 gn.create_dataset('trial_%04i' % i, data=neural, dtype='float32')
                 gl.create_dataset('trial_%04i' % i, data=labels, dtype='float32')
+                gs.create_dataset('trial_%04i' % i, data=labels_sc, dtype='float32')
         print('wrote %s (%i trials of %i frames)' % (hdf5, N_TRIALS, TRIAL_LEN))
         paths.append(hdf5)
     return paths

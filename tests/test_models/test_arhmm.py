@@ -183,6 +183,50 @@ class TestARHMM:
             ARHMM(K=2, D=2, transitions='bogus')
 
 
+class TestMeshEM:
+    """Data-parallel EM over a device mesh matches single-device EM exactly."""
+
+    def _fit(self, datas, mesh=None, transitions='stationary'):
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar',
+                    transitions=transitions, rng_seed=0)
+        hmm.initialize(datas)
+        lls = hmm.fit(datas, num_iters=5, mesh=mesh)
+        return hmm, lls
+
+    def test_sharded_em_matches_single_device(self):
+        import jax
+        from jax.sharding import Mesh
+        # 5 trials over 8 devices: exercises inert-trial padding too
+        datas = [make_ar_hmm_data(T=120 + 10 * i, seed=i)[0] for i in range(5)]
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        hmm_s, lls_s = self._fit(datas)
+        hmm_m, lls_m = self._fit(datas, mesh=mesh)
+        assert np.allclose(lls_s, lls_m, rtol=1e-4), (lls_s, lls_m)
+        for k in ('log_pi0', 'log_Ps', 'As', 'bs', 'Sigmas'):
+            assert np.allclose(np.asarray(hmm_s.params[k]),
+                               np.asarray(hmm_m.params[k]),
+                               rtol=1e-4, atol=1e-5), k
+
+    def test_sharded_recurrent_transitions(self):
+        import jax
+        from jax.sharding import Mesh
+        datas = [make_ar_hmm_data(T=100, seed=i)[0] for i in range(3)]
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        hmm_s, lls_s = self._fit(datas, transitions='recurrent')
+        hmm_m, lls_m = self._fit(datas, mesh=mesh, transitions='recurrent')
+        assert np.allclose(lls_s, lls_m, rtol=1e-4), (lls_s, lls_m)
+
+    def test_states_after_sharded_fit(self):
+        import jax
+        from jax.sharding import Mesh
+        x, z_true = make_ar_hmm_data()
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x], localize=True)
+        hmm.fit([x], num_iters=25, mesh=mesh)
+        assert perm_accuracy(z_true, hmm.most_likely_states(x)) > 0.90
+
+
 class TestStudentstNu:
 
     def test_nu_adapts_to_heavy_tails(self):
