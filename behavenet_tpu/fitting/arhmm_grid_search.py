@@ -189,7 +189,13 @@ def main(hparams, *args):
         export_train_plots(hparams, 'val', loss_type='ll', save_file=save_file)
         print('done')
 
-    hparams['training_completed'] = True
+    # a diverged fit (non-finite params) is not a completed experiment;
+    # leaving the flag False lets a re-run replace it instead of deduping
+    finite = all(np.isfinite(np.asarray(v)).all() for v in hmm.params.values())
+    if not finite:
+        print('WARNING: fit produced non-finite parameters; '
+              'not marking experiment as completed')
+    hparams['training_completed'] = bool(finite)
     export_hparams(hparams, exp)
 
     _clean_dir(hparams)

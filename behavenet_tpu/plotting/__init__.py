@@ -57,7 +57,8 @@ def load_metrics_csv_as_df(hparams, lab, expt, metrics_list, test=False, version
 
     if version_dir is None:
         get_lab_example(hparams, lab, expt)
-        hparams['session_dir'], sess_ids = get_session_dir(hparams)
+        hparams['session_dir'], sess_ids = get_session_dir(
+            hparams, session_source=hparams.get('all_source', 'save'))
         hparams['expt_dir'] = get_expt_dir(hparams)
         if version == 'best':
             version = get_best_model_version(hparams['expt_dir'])[0]

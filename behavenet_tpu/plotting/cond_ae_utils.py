@@ -25,12 +25,15 @@ from behavenet_tpu.fitting.eval import get_reconstruction
 from behavenet_tpu.plotting import concat, get_crop, load_metrics_csv_as_df, save_movie
 
 __all__ = [
-    'get_input_range', 'compute_range', 'interpolate_2d', 'interpolate_1d',
+    'get_input_range', 'compute_range', 'get_labels_2d_for_trial', 'get_model_input',
+    'interpolate_2d', 'interpolate_1d',
     'interpolate_point_path', 'plot_2d_frame_array', 'plot_1d_frame_array',
-    'make_interpolated', 'make_interpolated_multipanel',
+    'make_interpolated', 'make_interpolated_multipanel', 'apply_masks',
+    'get_label_r2', 'collect_data',
     'plot_psvae_training_curves', 'plot_hyperparameter_search_results',
     'plot_label_reconstructions', 'plot_latent_traversals', 'make_latent_traversal_movie',
-    'fit_classifier', 'plot_mspsvae_training_curves', 'make_session_swap_movie',
+    'fit_classifier', 'plot_mspsvae_training_curves',
+    'plot_mspsvae_hyperparameter_search_results', 'make_session_swap_movie',
 ]
 
 
@@ -838,6 +841,94 @@ def make_latent_traversal_movie(model, params, ims_0, latents_0, labels_0=None,
         frame_rate=frame_rate)
 
 
+def collect_data(data_generator, model, params, dtype, fit_full=False):
+    """Latents (+labels/masks) for every batch of ``dtype`` (reference :1282-1320).
+
+    Returns ``(ys, zs, masks, trials, sessions)`` lists; ``zs`` holds the
+    model-appropriate latents: unsupervised latents for ps-vae (all latents
+    when ``fit_full``), background latents for msps-vae, full latent vector
+    otherwise.
+    """
+    ys, zs, masks, trials, sessions = [], [], [], [], []
+    mc = model.hparams['model_class']
+    data_generator.reset_iterators(dtype)
+    for _ in range(data_generator.n_tot_batches[dtype]):
+        data, sess = data_generator.next_batch(dtype)
+        x = np.asarray(data['images'])
+        if x.dtype == np.uint8:
+            x = x.astype('float32') / 255.0
+        y = np.asarray(data['labels']) if 'labels' in data else None
+        n = np.asarray(data['labels_masks']) if 'labels_masks' in data else None
+        if mc == 'ae':
+            z = model.encode(params, x, dataset=sess)
+        elif mc in ('vae', 'cond-vae', 'beta-tcvae'):
+            z, _, _ = model.encoding.apply(params['encoder'], x, dataset=sess)
+        elif mc == 'ps-vae':
+            yhat, w, _, _ = model.encode(params, x, dataset=sess)
+            z = np.concatenate([np.asarray(yhat), np.asarray(w)], axis=1) \
+                if fit_full else w
+        elif mc == 'msps-vae':
+            _, z_b, _, _, _ = model.encode(params, x, dataset=sess)
+            z = z_b
+        else:
+            raise NotImplementedError(mc)
+        z = np.asarray(z)
+        if y is not None:
+            ys.append(y)
+        zs.append(z)
+        if n is not None:
+            masks.append(n)
+        elif y is not None:
+            masks.append(np.ones_like(y))
+        else:
+            masks.append(None)
+        trials.append(int(data['batch_idx']))
+        sessions.append(sess * np.ones(z.shape[0], dtype=int))
+    return ys, zs, masks, trials, sessions
+
+
+def get_label_r2(hparams, model, params, data_generator, version, label_names,
+                 dtype='val', overwrite=False):
+    """Per-label R^2 of the supervised subspace, cached as
+    ``r2_supervised.csv`` in the version dir (reference :1234-1279)."""
+    import pandas as pd
+    from sklearn.metrics import r2_score
+
+    n_labels = len(label_names)
+    save_file = os.path.join(
+        hparams['expt_dir'], 'version_%i' % version, 'r2_supervised.csv')
+    if os.path.exists(save_file) and not overwrite:
+        print('loading results from %s' % save_file)
+        return pd.read_csv(save_file)
+
+    rows = []
+    data_generator.reset_iterators(dtype)
+    for _ in range(data_generator.n_tot_batches[dtype]):
+        data, sess = data_generator.next_batch(dtype)
+        x = np.asarray(data['images'])
+        if x.dtype == np.uint8:
+            x = x.astype('float32') / 255.0
+        y = np.asarray(data['labels'])
+        n = np.asarray(data['labels_masks']) if 'labels_masks' in data \
+            else np.ones_like(y)
+        z = np.asarray(model.get_transformed_latents(params, x, dataset=sess))
+        for i in range(n_labels):
+            y_true = apply_masks(y[:, i], n[:, i])
+            y_pred = apply_masks(z[:, i], n[:, i])
+            if len(y_true) > 10:
+                r2 = r2_score(y_true, y_pred, multioutput='variance_weighted')
+                mse = float(np.mean(np.square(y_true - y_pred)))
+            else:
+                r2, mse = np.nan, np.nan
+            rows.append({
+                'Trial': int(data['batch_idx']), 'Label': label_names[i],
+                'R2': r2, 'MSE': mse, 'Model': hparams['model_class'].upper()})
+    metrics_df = pd.DataFrame(rows)
+    print('saving results to %s' % save_file)
+    metrics_df.to_csv(save_file, index=False, header=True)
+    return metrics_df
+
+
 def fit_classifier(model_or_latents, datasets_or_labels, **kwargs):
     """Logistic-regression session classifier on background latents (reference :1323-1373).
 
@@ -891,6 +982,98 @@ def plot_mspsvae_training_curves(hparams, alpha, beta, delta, rng_seed_model, n_
         make_dir_if_not_exists(save_file)
         g.savefig(save_file + '.' + format, dpi=300)
     return g
+
+
+def plot_mspsvae_hyperparameter_search_results(
+        hparams, sess_ids, label_names, n_background, alpha_weights, alpha_n_ae_latents,
+        alpha_expt_name, beta_weights, delta_weights, beta_delta_n_ae_latents,
+        beta_delta_expt_name, alpha, beta, delta, save_file, batch_size=None,
+        format='png', **kwargs):
+    """Diagnostic panels for the MSPS-VAE two-stage hyperparameter search
+    (reference :2615-3027).
+
+    Stage 1 (alpha search, fixed beta/delta): pixel MSE and label MSE as
+    functions of alpha x n_latents. Stage 2 (beta/delta search, fixed
+    alpha/n_latents): pixel MSE, label MSE, and the unsupervised KL
+    decomposition (MI / TC / DWKL) as functions of beta x delta.
+    """
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    import seaborn as sns
+
+    n_labels = len(label_names)
+
+    def _collect(expt_name, n_latents, sweep, metrics):
+        """sweep: list of (column, value) dicts to stamp per model."""
+        dfs = []
+        for setting in sweep:
+            hp = copy.deepcopy(hparams)
+            hp['experiment_name'] = expt_name
+            hp['n_ae_latents'] = n_latents + n_background + n_labels
+            hp['n_background'] = n_background
+            for key, val in setting.items():
+                hp['ps_vae.%s' % key] = val
+            for key, val in kwargs.items():
+                hp[key] = val
+            try:
+                df = load_metrics_csv_as_df(
+                    hp, hp.get('lab'), hp.get('expt'), metrics, version='best')
+                for key, val in setting.items():
+                    df[key] = val
+                df['n_latents'] = n_latents
+                dfs.append(df)
+            except Exception as e:
+                print('skipping %s %s: %s' % (expt_name, setting, e))
+        return pd.concat(dfs, sort=False) if dfs else pd.DataFrame()
+
+    alpha_metrics = ['loss_data_mse', 'label_r2']
+    bd_metrics = ['loss_data_mse', 'label_r2', 'loss_zu_mi', 'loss_zu_tc',
+                  'loss_zu_dwkl', 'loss_triplet']
+
+    alpha_dfs = []
+    for n_lat in np.atleast_1d(alpha_n_ae_latents):
+        sweep = [{'alpha': a, 'beta': beta, 'delta': delta} for a in alpha_weights]
+        alpha_dfs.append(_collect(alpha_expt_name, int(n_lat), sweep, alpha_metrics))
+    alpha_df = pd.concat([d for d in alpha_dfs if len(d)], sort=False) \
+        if any(len(d) for d in alpha_dfs) else pd.DataFrame()
+
+    sweep = [{'alpha': alpha, 'beta': b, 'delta': d}
+             for b in beta_weights for d in delta_weights]
+    bd_df = _collect(beta_delta_expt_name, int(beta_delta_n_ae_latents), sweep,
+                     bd_metrics)
+
+    sns.set_style('white')
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+
+    def _panel(ax, df, x, metric, hue=None, title=None):
+        if not len(df):
+            ax.set_axis_off()
+            return
+        d = df[(df.loss == metric) & (df.dtype == 'val')]
+        if not len(d):
+            ax.set_axis_off()
+            return
+        sns.lineplot(data=d, x=x, y='val', hue=hue, ax=ax, marker='o')
+        ax.set_xscale('symlog')
+        ax.set_title(title or metric)
+
+    _panel(axes[0, 0], alpha_df, 'alpha', 'loss_data_mse', hue='n_latents',
+           title='pixel MSE vs alpha')
+    _panel(axes[0, 1], alpha_df, 'alpha', 'label_r2', hue='n_latents',
+           title='label R^2 vs alpha')
+    _panel(axes[0, 2], bd_df, 'beta', 'loss_data_mse', hue='delta',
+           title='pixel MSE vs beta/delta')
+    _panel(axes[1, 0], bd_df, 'beta', 'loss_zu_mi', hue='delta',
+           title='index-code MI vs beta/delta')
+    _panel(axes[1, 1], bd_df, 'beta', 'loss_zu_tc', hue='delta',
+           title='total correlation vs beta/delta')
+    _panel(axes[1, 2], bd_df, 'beta', 'loss_zu_dwkl', hue='delta',
+           title='dimension-wise KL vs beta/delta')
+    plt.tight_layout()
+    if save_file is not None:
+        make_dir_if_not_exists(save_file)
+        plt.savefig(save_file + '.' + format, dpi=300)
+    return fig
 
 
 def make_session_swap_movie(sess_ids, hparams, version, n_labels, n_background, sess_idx,
