@@ -58,6 +58,10 @@ class ConvEncoder:
         self.sess_io = bool(hparams.get('fit_sess_io_layers', False))
         self.n_datasets = int(hparams.get('n_datasets', 1))
         self.compute_dtype = hparams.get('compute_dtype', None)
+        # keep inter-layer activations in the compute dtype (halves HBM
+        # traffic on bandwidth-bound layers); latent head still f32
+        self.act_dtype = self.compute_dtype \
+            if hparams.get('bf16_pipeline', False) else None
 
         # extra input channels for conditional encoder (labels_2d appended)
         if hparams.get('model_class') == 'cond-ae' and hparams.get('conditional_encoder', False):
@@ -138,7 +142,8 @@ class ConvEncoder:
                     p = jax.tree_util.tree_map(lambda a: a[dataset], p)
                 x = ops.conv2d(x, p['w'], p['b'], spec['stride'],
                                spec['pad_y'], spec['pad_x'],
-                               compute_dtype=self.compute_dtype)
+                               compute_dtype=self.compute_dtype,
+                               out_dtype=self.act_dtype)
             elif spec['type'] == 'maxpool':
                 x, idx = ops.max_pool2d_with_indices(x, ceil_mode=spec['ceil'])
                 pool_idx.append(idx)
@@ -147,7 +152,7 @@ class ConvEncoder:
                 x = ops.batch_norm(x, p['gamma'], p['beta'])
             else:
                 x = ops.leaky_relu(x)
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         mu = ops.linear(x, params['fc']['w'], params['fc']['b'])
         if self.variational:
             logvar = ops.linear(x, params['logvar']['w'], params['logvar']['b'])
@@ -163,6 +168,8 @@ class ConvDecoder:
         self.sess_io = bool(hparams.get('fit_sess_io_layers', False))
         self.n_datasets = int(hparams.get('n_datasets', 1))
         self.compute_dtype = hparams.get('compute_dtype', None)
+        self.act_dtype = self.compute_dtype \
+            if hparams.get('bf16_pipeline', False) else None
         self.hidden_layer_size = int(hparams['hidden_layer_size'])
         self.starting_dim = tuple(int(v) for v in hparams['ae_decoding_starting_dim'])  # (C,H,W)
         self.last_ff = bool(hparams.get('ae_decoding_last_FF_layer', False))
@@ -264,7 +271,8 @@ class ConvDecoder:
                     p = jax.tree_util.tree_map(lambda a: a[dataset], p)
                 x = ops.conv_transpose2d(
                     x, p['w'], p['b'], spec['stride'], spec['pad_y'], spec['pad_x'],
-                    out_pad=spec['out_pad'], compute_dtype=self.compute_dtype)
+                    out_pad=spec['out_pad'], compute_dtype=self.compute_dtype,
+                    out_dtype=self.act_dtype)
             elif spec['type'] == 'unpool':
                 idx = pool_stack.pop(-1)
                 x = ops.max_unpool2d(x, idx, spec['out_hw'])
@@ -274,7 +282,8 @@ class ConvDecoder:
             elif spec['type'] == 'relu':
                 x = ops.leaky_relu(x)
             elif spec['type'] == 'sigmoid':
-                x = jax.nn.sigmoid(x)
+                # reconstruction head back to f32 for the loss
+                x = jax.nn.sigmoid(x.astype(jnp.float32))
             elif spec['type'] == 'last_ff':
                 p = params[spec['name']]
                 x = ops.linear(x.reshape(x.shape[0], -1), p['w'], p['b'])

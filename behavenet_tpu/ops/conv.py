@@ -26,7 +26,7 @@ from jax import lax
 _DIMSPEC = ('NHWC', 'HWIO', 'NHWC')
 
 
-def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None):
+def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None, out_dtype=None):
     """Conv with explicit asymmetric padding.
 
     Parameters
@@ -36,24 +36,28 @@ def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None):
     b : (Cout,) or None
     stride : int
     pad_y, pad_x : (before, after) tuples
+    out_dtype : activation dtype for the output (default float32). Passing
+        the compute dtype keeps the activation chain low-precision end to
+        end, halving inter-layer HBM traffic on bandwidth-bound layers.
     """
     dtype = compute_dtype or x.dtype
-    # compute (and differentiate) uniformly in the compute dtype, then cast
-    # up: the MXU accumulates in f32 internally for bf16 convs, and keeping
+    odt = out_dtype or jnp.float32
+    # compute (and differentiate) uniformly in the compute dtype, then cast:
+    # the MXU accumulates in f32 internally for bf16 convs, and keeping
     # all conv operands one dtype keeps the VJP well-typed
     out = lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=(stride, stride),
         padding=(tuple(pad_y), tuple(pad_x)),
         dimension_numbers=_DIMSPEC,
-    ).astype(jnp.float32)
+    ).astype(odt)
     if b is not None:
-        out = out + b.astype(jnp.float32)
+        out = out + b.astype(odt)
     return out
 
 
 def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
-                     compute_dtype=None):
+                     compute_dtype=None, out_dtype=None):
     """Transposed conv matching torch ConvTranspose2d semantics.
 
     Implemented as an input-dilated convolution: dilate by ``stride``, pad
@@ -77,6 +81,7 @@ def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
     px0, px1 = pad_x
     opy, opx = out_pad
     dtype = compute_dtype or x.dtype
+    odt = out_dtype or jnp.float32
     # flip spatial dims: conv-transpose is correlation with the flipped kernel
     w_flip = w[::-1, ::-1, :, :]
     out = lax.conv_general_dilated(
@@ -86,9 +91,9 @@ def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
                  (kw - 1 - px0, kw - 1 - px1 + opx)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMSPEC,
-    ).astype(jnp.float32)
+    ).astype(odt)
     if b is not None:
-        out = out + b.astype(jnp.float32)
+        out = out + b.astype(odt)
     return out
 
 
@@ -152,9 +157,10 @@ def batch_norm(x, gamma, beta, eps=1e-5):
     used at train and eval time; no running averages.
     """
     axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return gamma * (x - mean) * jax.lax.rsqrt(var + eps) + beta
+    xf = x.astype(jnp.float32)  # stats in f32 even on a bf16 activation chain
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    return (gamma * (xf - mean) * jax.lax.rsqrt(var + eps) + beta).astype(x.dtype)
 
 
 def leaky_relu(x, negative_slope=0.05):

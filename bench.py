@@ -36,7 +36,9 @@ def measure(batch, n_steps=50, n_repeats=3, compute_dtype='bfloat16'):
         arch, model_class='ae', model_type='conv', n_ae_latents=12,
         n_input_channels=img[0], y_pixels=img[1], x_pixels=img[2],
         learning_rate=1e-4, l2_reg=0.0, rng_seed_model=0,
-        compute_dtype=jnp.bfloat16 if compute_dtype == 'bfloat16' else None)
+        compute_dtype=jnp.bfloat16 if compute_dtype == 'bfloat16' else None,
+        # bf16 end-to-end activation chain: ~2% on top of bf16 compute
+        bf16_pipeline=compute_dtype == 'bfloat16')
     model = AE(hp)
     tx, train_step, _ = make_train_functions(model, hp)
     params = model.init(jax.random.PRNGKey(0))

@@ -62,6 +62,28 @@ class TestAE:
         gnorm = sum(float(jnp.sum(g ** 2)) for g in jax.tree_util.tree_leaves(grads))
         assert gnorm > 0
 
+    def test_bf16_pipeline_matches_f32(self):
+        """bf16 activation chain: close to f32 forward; f32 outputs + grads."""
+        x = jnp.array(np.random.RandomState(0).rand(5, 32, 24, 1), dtype=jnp.float32)
+        outs = {}
+        for name, extra in (('f32', {}),
+                            ('pipe', {'compute_dtype': jnp.bfloat16,
+                                      'bf16_pipeline': True})):
+            hp = make_hparams(**extra)
+            model = AE(hp)
+            params = model.init(jax.random.PRNGKey(0))
+            y, z = model.forward(params, x)
+            assert y.dtype == jnp.float32 and z.dtype == jnp.float32
+            outs[name] = np.asarray(y)
+        assert np.abs(outs['f32'] - outs['pipe']).max() < 1e-2
+        hp = make_hparams(compute_dtype=jnp.bfloat16, bf16_pipeline=True)
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        grads = jax.grad(lambda p: model.loss_fn(p, {'images': x}, None)[0])(params)
+        for g in jax.tree_util.tree_leaves(grads):
+            assert g.dtype == jnp.float32
+            assert np.isfinite(np.asarray(g)).all()
+
     def test_linear_ae_tied_weights(self):
         hp = make_hparams()
         hp['model_type'] = 'linear'
