@@ -189,7 +189,10 @@ class SingleSessionDataset:
             raise NotImplementedError(
                 'Could not open %s\nMust create %s from model' % (self.paths[signal], key))
         if self.transforms.get(signal) is not None:
-            arr = self.transforms[signal](arr).astype(dtype)
+            arr = self.transforms[signal](arr)
+            # a one-hot transform widens int state vectors to (T, K) floats
+            arr = arr.astype('float32') if arr.ndim > 1 and dtype == 'int32' \
+                else arr.astype(dtype)
         return arr
 
     def _load_signal_all(self, signal):
@@ -206,7 +209,11 @@ class SingleSessionDataset:
         key, dtype = key_dtype[signal]
         data = _load_pkl_dict(self.paths[signal], key, dtype=dtype)
         if self.transforms.get(signal) is not None:
-            data = [self.transforms[signal](d).astype(dtype) for d in data]
+            def _post(d):
+                d = self.transforms[signal](d)
+                return d.astype('float32') if d.ndim > 1 and dtype == 'int32' \
+                    else d.astype(dtype)
+            data = [_post(d) for d in data]
         return data
 
     def __getitem__(self, idx):

@@ -82,14 +82,22 @@ class ClipNormalize(Transform):
 
 
 class MakeOneHot(Transform):
-    """Categorical vector (time,) -> one-hot (time, K) (reference :149)."""
+    """Categorical vector (time,) -> one-hot (time, K) (reference :149).
+
+    ``n_classes`` fixes the output width; without it K is inferred per
+    trial from the max label, which breaks batch-to-batch shape
+    consistency when a trial does not visit every state.
+    """
+
+    def __init__(self, n_classes=None):
+        self.n_classes = n_classes
 
     def __call__(self, sample):
         if len(sample.shape) == 2:  # already one-hot
             return sample
         n_time = len(sample)
-        n_classes = int(np.nanmax(sample))
-        onehot = np.zeros((n_time, n_classes + 1))
+        n_classes = self.n_classes or int(np.nanmax(sample)) + 1
+        onehot = np.zeros((n_time, n_classes), dtype='float32')
         if not any(np.isnan(sample)):
             onehot[np.arange(n_time), sample.astype('int')] = 1
         else:

@@ -138,6 +138,13 @@ def get_data_generator_inputs(hparams, sess_ids, check_splits=True):
                 hparams['noise_dist'] = 'poisson'
             arhmm_transform, arhmm_path = get_transforms_paths(
                 'arhmm_states', hparams, sess_id=sess_id, check_splits=check_splits)
+            # decoder inputs must be (time, K) one-hot: the reference ships a
+            # MakeOneHot transform but never wires it in, leaving its
+            # states->neural path broken on raw int states
+            from behavenet_tpu.data.transforms import Compose, MakeOneHot
+            onehot = MakeOneHot(n_classes=hparams.get('n_arhmm_states'))
+            arhmm_transform = Compose([arhmm_transform, onehot]) \
+                if arhmm_transform else onehot
             signals = ['neural', 'arhmm_states']
             transforms = [neural_transform, arhmm_transform]
             paths = [neural_path, arhmm_path]

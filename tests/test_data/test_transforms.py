@@ -78,6 +78,15 @@ class TestMakeOneHot:
         out = transforms.MakeOneHot()(x)
         assert np.isnan(out).all()
 
+    def test_fixed_n_classes(self):
+        """Explicit width keeps trials consistent even when a trial skips
+        states (decoder inputs must have a static channel count)."""
+        x = np.array([0.0, 1.0, 0.0])  # never visits state 2
+        out = transforms.MakeOneHot(n_classes=4)(x)
+        assert out.shape == (3, 4)
+        assert out.dtype == np.float32
+        assert (out.sum(axis=1) == 1).all()
+
 
 class TestMakeOneHot2D:
 
