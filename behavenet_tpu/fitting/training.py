@@ -281,7 +281,22 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
     params = model.init(jax.random.PRNGKey(hparams.get('rng_seed_model', 0)))
     if warm_start is not None:
         params = warm_start(params)
-    tx, train_step, eval_step = make_train_functions(model, hparams)
+    n_dev = len(jax.devices())
+    if hparams.get('dp_sharding', False) and n_dev > 1:
+        # data-parallel training over all local devices: batches shard along
+        # the frame axis (length bucketing keeps it divisible), params
+        # replicate, XLA inserts the gradient all-reduce over ICI
+        from jax.sharding import Mesh
+        from behavenet_tpu.parallel.mesh import make_dp_train_functions
+        bucket = int(hparams.get('shape_bucket', 32) or 32)
+        if bucket % n_dev:
+            bucket = -(-bucket // n_dev) * n_dev
+        hparams['shape_bucket'] = bucket
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        print('dp sharding over %i devices (frame bucket %i)' % (n_dev, bucket))
+        tx, train_step, eval_step = make_dp_train_functions(model, hparams, mesh)
+    else:
+        tx, train_step, eval_step = make_train_functions(model, hparams)
     opt_state = tx.init(params)
 
     logger = Logger(n_datasets=data_generator.n_datasets)

@@ -76,14 +76,24 @@ def make_dp_train_functions(model, hparams, mesh, axis_name='dp'):
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis_name))
 
+    n_dev = mesh.devices.size
+
+    def _put(batch):
+        # exact-shape batches (gaussian-full, multi-session seg_lens) may not
+        # divide the mesh; replicate those instead of failing the shard
+        return {
+            k: jax.device_put(
+                v, shard if np.asarray(v).shape[0] % n_dev == 0 else repl)
+            for k, v in batch.items()}
+
     def dp_train_step(params, opt_state, rng, batch, loss_kwargs, dataset=0, seg_lens=None):
-        batch = {k: jax.device_put(v, shard) for k, v in batch.items()}
+        batch = _put(batch)
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
         return train_step(params, opt_state, rng, batch, loss_kwargs, dataset, seg_lens)
 
     def dp_eval_step(params, rng, batch, loss_kwargs, dataset=0, seg_lens=None):
-        batch = {k: jax.device_put(v, shard) for k, v in batch.items()}
+        batch = _put(batch)
         params = jax.device_put(params, repl)
         return eval_step(params, rng, batch, loss_kwargs, dataset, seg_lens)
 

@@ -146,3 +146,59 @@ class TestMultiStep:
         for a, b in zip(jax.tree_util.tree_leaves(p_seq),
                         jax.tree_util.tree_leaves(p_multi)):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestDPTraining:
+    """Data-parallel train steps must match single-device exactly."""
+
+    def test_dp_steps_match_single_device(self):
+        from jax.sharding import Mesh
+        from behavenet_tpu.fitting.training import make_train_functions
+        from behavenet_tpu.parallel.mesh import make_dp_train_functions
+
+        hp = make_hp('ae', learning_rate=1e-3, l2_reg=0.0)
+        model = AE(hp)
+        rs = np.random.RandomState(0)
+        batch = {'images': rs.rand(64, 32, 24, 1).astype(np.float32)}
+        bb = _bucket_batch(batch, 32)
+        jb = {k: jnp.asarray(v) for k, v in bb.items()}
+        rng = jax.random.PRNGKey(1)
+
+        def run(step_fns):
+            tx, train_step, _ = step_fns
+            params = model.init(jax.random.PRNGKey(0))
+            opt_state = tx.init(params)
+            losses = []
+            for _ in range(3):
+                params, opt_state, m = train_step(
+                    params, opt_state, rng, dict(jb), {}, 0, None)
+                losses.append(float(m['loss']))
+            return losses, params
+
+        losses_s, params_s = run(make_train_functions(model, hp))
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        losses_d, params_d = run(make_dp_train_functions(model, hp, mesh))
+        assert np.allclose(losses_s, losses_d, rtol=1e-5), (losses_s, losses_d)
+        for (ka, a), (kb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(params_s),
+                       key=lambda t: str(t[0])),
+                sorted(jax.tree_util.tree_leaves_with_path(params_d),
+                       key=lambda t: str(t[0]))):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), ka
+
+    def test_dp_replicates_nondivisible_batch(self):
+        from jax.sharding import Mesh
+        from behavenet_tpu.parallel.mesh import make_dp_train_functions
+
+        hp = make_hp('ae', learning_rate=1e-3, l2_reg=0.0)
+        model = AE(hp)
+        rs = np.random.RandomState(0)
+        # 37 frames: not divisible by 8 devices -> replicated, still works
+        jb = {'images': jnp.asarray(rs.rand(37, 32, 24, 1).astype(np.float32))}
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        tx, train_step, _ = make_dp_train_functions(model, hp, mesh)
+        params = model.init(jax.random.PRNGKey(0))
+        opt_state = tx.init(params)
+        params, opt_state, m = train_step(
+            params, opt_state, jax.random.PRNGKey(1), jb, {}, 0, None)
+        assert np.isfinite(float(m['loss']))
