@@ -81,10 +81,16 @@ def main(hparams, *args):
     export_hparams(hparams, exp)
     print('done')
 
-    fit(hparams, model, data_generator, exp, method='ae',
-        warm_start=lambda params: load_pretrained_ae(params, model, hparams))
+    best_params = fit(hparams, model, data_generator, exp, method='ae',
+                      warm_start=lambda params: load_pretrained_ae(params, model, hparams))
 
-    hparams['training_completed'] = True
+    # a diverged fit is not a completed experiment (see arhmm_grid_search)
+    from behavenet_tpu.models.base import params_finite
+    ok = best_params is not None and params_finite(best_params)
+    if not ok:
+        print('WARNING: fit produced no finite best-val parameters; '
+              'not marking experiment as completed')
+    hparams['training_completed'] = ok
     export_hparams(hparams, exp)
 
     _clean_dir(hparams)

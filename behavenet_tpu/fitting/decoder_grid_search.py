@@ -79,9 +79,14 @@ def main(hparams, *args):
     export_hparams(hparams, exp)
     print('done')
 
-    fit(hparams, model, data_generator, exp, method='nll')
+    best_params = fit(hparams, model, data_generator, exp, method='nll')
 
-    hparams['training_completed'] = True
+    from behavenet_tpu.models.base import params_finite
+    ok = best_params is not None and params_finite(best_params)
+    if not ok:
+        print('WARNING: fit produced no finite best-val parameters; '
+              'not marking experiment as completed')
+    hparams['training_completed'] = ok
     export_hparams(hparams, exp)
 
     _clean_dir(hparams)

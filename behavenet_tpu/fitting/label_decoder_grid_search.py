@@ -47,7 +47,7 @@ def main(hparams, *args):
     export_hparams(hparams, exp)
     print('done')
 
-    fit(hparams, model, data_generator, exp, method='conv-decoder')
+    best_params = fit(hparams, model, data_generator, exp, method='conv-decoder')
 
     if hparams.get('export_train_plots', False):
         print('creating training plots...', end='')
@@ -58,7 +58,12 @@ def main(hparams, *args):
         export_train_plots(hparams, 'val', save_file=save_file)
         print('done')
 
-    hparams['training_completed'] = True
+    from behavenet_tpu.models.base import params_finite
+    ok = best_params is not None and params_finite(best_params)
+    if not ok:
+        print('WARNING: fit produced no finite best-val parameters; '
+              'not marking experiment as completed')
+    hparams['training_completed'] = ok
     export_hparams(hparams, exp)
 
     _clean_dir(hparams)

@@ -78,6 +78,12 @@ def param_count(params):
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
+def params_finite(params):
+    """True when every leaf of the parameter pytree is finite."""
+    return all(bool(np.isfinite(np.asarray(p)).all())
+               for p in jax.tree_util.tree_leaves(params))
+
+
 def save_params(params, filepath, extra=None):
     """Persist a parameter pytree (host numpy) to ``filepath`` via pickle.
 
