@@ -230,7 +230,8 @@ class ARHMM:
         mask = jnp.ones(x.shape[0], dtype=jnp.float32)
         ll = self._log_likes(self.params, x, mask)
         lp = self._log_P(self.params, x, mask)
-        return np.asarray(hmm_ops.viterbi(self.params['log_pi0'], lp, ll, mask))
+        vit = hmm_ops.viterbi_parallel if self.parallel_scan else hmm_ops.viterbi
+        return np.asarray(vit(self.params['log_pi0'], lp, ll, mask))
 
     def expected_states(self, data):
         """Posterior marginals gamma (T, K) for one trial."""

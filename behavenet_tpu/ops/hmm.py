@@ -23,7 +23,7 @@ from jax import lax
 from jax.scipy.special import logsumexp
 
 __all__ = ['forward', 'forward_parallel', 'backward', 'backward_parallel',
-           'forward_backward', 'viterbi',
+           'forward_backward', 'viterbi', 'viterbi_parallel',
            'sample_states', 'expected_transitions']
 
 
@@ -207,6 +207,55 @@ def viterbi(log_pi0, log_P, log_lik, mask=None):
         return z, z
 
     _, zs = lax.scan(back, z_T, backptrs, reverse=True)
+    return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
+
+
+def _maxplus_matmul(A, B):
+    """(..., K, K) (max, +) matrix product: max_k A[.., i, k] + B[.., k, j]."""
+    return jnp.max(A[..., :, :, None] + B[..., None, :, :], axis=-2)
+
+
+def viterbi_parallel(log_pi0, log_P, log_lik, mask=None):
+    """Viterbi via ``associative_scan`` over the (max, +) monoid.
+
+    ``delta_t`` comes from parallel-prefix (max, +) products of the same
+    chain matrices as :func:`forward_parallel`; backpointers are then a
+    single vectorized argmax over the known deltas, leaving only the
+    trivial O(T) integer backtrace sequential. Identical paths to
+    :func:`viterbi` up to argmax tie-breaking.
+    """
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+
+    if log_P.ndim == 2:
+        lp = jnp.broadcast_to(log_P[None], (T - 1, K, K))
+    else:
+        lp = log_P
+    Ms = lp + (log_lik[1:] * mask[1:, None])[:, None, :]
+    identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
+    Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
+
+    prefix = jax.lax.associative_scan(_maxplus_matmul, Ms)  # (T-1, K, K)
+    delta0 = log_pi0 + log_lik[0] * mask[0]
+    deltas = jnp.max(delta0[None, :, None] + prefix, axis=1)  # (T-1, K)
+    delta = jnp.concatenate([delta0[None], deltas], axis=0)   # (T, K)
+
+    # backpointers from the completed deltas, all timesteps at once
+    scores = delta[:-1, :, None] + lp                         # (T-1, K, K)
+    psi = jnp.argmax(scores, axis=1).astype(jnp.int32)        # (T-1, K)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T - 1, K), 1)
+    psi = jnp.where(mask[1:, None] > 0, psi, idx)             # carry when padded
+
+    z_T = jnp.argmax(delta[-1]).astype(jnp.int32)
+
+    def back(carry, ptrs_t):
+        z_next = carry
+        z = ptrs_t[z_next]
+        return z, z
+
+    _, zs = lax.scan(back, z_T, psi, reverse=True)
     return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
 
 

@@ -209,3 +209,31 @@ class TestBackwardParallel:
             assert np.allclose(np.asarray(fits[False][1].params[k]),
                                np.asarray(fits[True][1].params[k]),
                                rtol=1e-3, atol=1e-4), k
+
+
+class TestViterbiParallel:
+
+    def test_matches_brute_force(self):
+        for seed in range(3):
+            log_pi0, log_P, log_lik = _random_problem(T=6, K=3, seed=seed)
+            _, _, best = _brute_force(log_pi0, log_P, log_lik)
+            z = hmm_ops.viterbi_parallel(
+                jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+            assert (np.asarray(z) == best).all()
+
+    def test_matches_sequential_long(self):
+        log_pi0, log_P, log_lik = _random_problem(T=200, K=4, seed=0)
+        z_s = hmm_ops.viterbi(jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+        z_p = hmm_ops.viterbi_parallel(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+        assert (np.asarray(z_s) == np.asarray(z_p)).all()
+
+    def test_masked(self):
+        log_pi0, log_P, log_lik = _random_problem(T=20, K=3, seed=1)
+        mask = np.ones(20, dtype=np.float32)
+        mask[14:] = 0.0
+        z_s = hmm_ops.viterbi(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik), jnp.array(mask))
+        z_p = hmm_ops.viterbi_parallel(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik), jnp.array(mask))
+        assert (np.asarray(z_s)[:14] == np.asarray(z_p)[:14]).all()
