@@ -93,18 +93,33 @@ def load_metrics_csv_as_df(hparams, lab, expt, metrics_list, test=False, version
 
 
 def save_movie(save_file, ani, frame_rate=15):
-    """Save a matplotlib animation as mp4/gif (reference :201)."""
-    if save_file is not None:
-        from behavenet_tpu import make_dir_if_not_exists
-        make_dir_if_not_exists(save_file)
-        if save_file[-3:] == 'gif':
-            print('saving video to %s...' % save_file, end='')
+    """Save a matplotlib animation as mp4/gif (reference :201).
+
+    mp4 requires ffmpeg; without it (or imagemagick for gifs) the writer
+    falls back to matplotlib's built-in PillowWriter and a .gif container,
+    so movie exports work on bare images.
+    """
+    if save_file is None:
+        return
+    import matplotlib.animation as mpl_anim
+
+    from behavenet_tpu import make_dir_if_not_exists
+    make_dir_if_not_exists(save_file)
+
+    if save_file[-3:] == 'gif':
+        print('saving video to %s...' % save_file, end='')
+        if mpl_anim.ImageMagickWriter.isAvailable():
             ani.save(save_file, writer='imagemagick', fps=frame_rate)
         else:
-            from matplotlib.animation import FFMpegWriter
-            if save_file[-3:] != 'mp4':
-                save_file += '.mp4'
-            writer = FFMpegWriter(fps=frame_rate, bitrate=-1)
-            print('saving video to %s...' % save_file, end='')
-            ani.save(save_file, writer=writer)
-        print('done')
+            ani.save(save_file, writer=mpl_anim.PillowWriter(fps=frame_rate))
+    elif mpl_anim.FFMpegWriter.isAvailable():
+        if save_file[-3:] != 'mp4':
+            save_file += '.mp4'
+        writer = mpl_anim.FFMpegWriter(fps=frame_rate, bitrate=-1)
+        print('saving video to %s...' % save_file, end='')
+        ani.save(save_file, writer=writer)
+    else:
+        save_file = (save_file[:-4] if save_file[-4:] == '.mp4' else save_file) + '.gif'
+        print('ffmpeg unavailable; saving gif to %s...' % save_file, end='')
+        ani.save(save_file, writer=mpl_anim.PillowWriter(fps=frame_rate))
+    print('done')

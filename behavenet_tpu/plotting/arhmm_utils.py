@@ -312,8 +312,8 @@ def make_syllable_movies(ims_orig, state_list, trial_idxs, save_file=None, max_f
     print('done')
 
     if save_file is not None:
-        if save_file[-3:] == 'mp4':
-            save_file = save_file[:-3]
+        if save_file[-4:] == '.mp4':
+            save_file = save_file[:-4]
         if single_syllable is not None:
             save_file += '_syllable-%02i' % single_syllable
         save_file += '.mp4'
