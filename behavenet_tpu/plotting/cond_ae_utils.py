@@ -430,6 +430,7 @@ def interpolate_point_path(interp_type, model, params, ims_0, labels_0, points,
     if model.hparams.get('conditional_encoder', False):
         raise NotImplementedError
 
+    points = np.asarray(points)
     n_points = len(points)
     if isinstance(n_frames, int):
         n_frames = [n_frames] * (n_points - 1)
