@@ -427,8 +427,10 @@ def get_region_list(hparams, group_0='regions', group_1='indxs'):
     if not isinstance(hparams, dict):
         hparams = vars(hparams)
 
-    group_0 = hparams.get('subsample_idxs_group_0', group_0)
-    group_1 = hparams.get('subsample_idxs_group_1', group_1)
+    # a None value (standard configs carry the key) falls back to the
+    # defaults rather than overriding them (reference :678-679 raises here)
+    group_0 = hparams.get('subsample_idxs_group_0') or group_0
+    group_1 = hparams.get('subsample_idxs_group_1') or group_1
 
     data_file = os.path.join(
         hparams['data_dir'], hparams['lab'], hparams['expt'], hparams['animal'],

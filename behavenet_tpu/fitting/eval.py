@@ -242,7 +242,9 @@ def get_test_metric(hparams, model_version, metric='r2', dtype='test',
         hparams, Decoder, load_data=True, version=model_version)
 
     n_test_batches = len(data_generator.datasets[sess_idx].batch_idxs[dtype])
-    max_lags = hparams['n_max_lags']
+    # the fitted model's meta tags carry the lag config; the caller's
+    # analysis hparams often don't
+    max_lags = hparams.get('n_max_lags') or model.hparams['n_max_lags']
     true, pred = [], []
     data_generator.reset_iterators(dtype)
     for _ in range(n_test_batches):

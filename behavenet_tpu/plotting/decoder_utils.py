@@ -95,7 +95,8 @@ def get_r2s_across_trials(hparams, best_models_df):
     dataset = _get_dataset_str(hparams)
     all_test_r2s = []
     for version in best_models_df.version.unique():
-        model_version = str(int(version[8:]) % 10000)
+        # version may be an int or a 'version_%i' string
+        model_version = str(int(str(version).split('_')[-1]) % 10000)
         hparams['model_type'] = best_models_df[
             best_models_df.version == version].model_type.unique()[0]
         hparams['region'] = best_models_df[
