@@ -140,8 +140,11 @@ def forward_backward(log_pi0, log_P, log_lik, mask=None, parallel=False):
     # posteriors are probabilities: normalize per step instead of relying on
     # alpha_t + beta_t - log_Z == log p exactly. Over very long sequences the
     # sequential f32 recursions accumulate random-walk roundoff (~sqrt(T)
-    # ULPs at |alpha| ~ 1e6), enough to push exp() past overflow.
+    # ULPs at |alpha| ~ 1e6), enough to push exp() past overflow. The row max
+    # is subtracted FIRST (exact: the differences are small), because at huge
+    # magnitudes logsumexp's log-correction itself rounds away against the ULP.
     log_gamma = log_alpha + log_beta
+    log_gamma = log_gamma - jnp.max(log_gamma, axis=1, keepdims=True)
     log_gamma = log_gamma - logsumexp(log_gamma, axis=1, keepdims=True)
     gamma = jnp.exp(log_gamma) * mask[:, None]
 
@@ -152,6 +155,7 @@ def forward_backward(log_pi0, log_P, log_lik, mask=None, parallel=False):
         lp = log_P
     log_xi = (log_alpha[:-1, :, None] + lp
               + (log_lik[1:] * mask[1:, None] + log_beta[1:])[:, None, :])
+    log_xi = log_xi - jnp.max(log_xi, axis=(1, 2), keepdims=True)
     log_xi = log_xi - logsumexp(log_xi, axis=(1, 2), keepdims=True)
     pair_mask = (mask[:-1] * mask[1:])[:, None, None]
     xi_sum = jnp.sum(jnp.exp(log_xi) * pair_mask, axis=0)
@@ -171,6 +175,7 @@ def expected_transitions(log_pi0, log_P, log_lik, mask=None):
               + (log_lik[1:] * mask[1:, None] + log_beta[1:])[:, None, :])
     # per-step normalization (see forward_backward): robust to f32
     # random-walk roundoff on very long sequences
+    log_xi = log_xi - jnp.max(log_xi, axis=(1, 2), keepdims=True)
     log_xi = log_xi - logsumexp(log_xi, axis=(1, 2), keepdims=True)
     pair_mask = (mask[:-1] * mask[1:])[:, None, None]
     return jnp.exp(log_xi) * pair_mask

@@ -237,3 +237,27 @@ class TestViterbiParallel:
         z_p = hmm_ops.viterbi_parallel(
             jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik), jnp.array(mask))
         assert (np.asarray(z_s)[:14] == np.asarray(z_p)[:14]).all()
+
+
+class TestLongSequenceStability:
+
+    def test_gamma_finite_under_huge_loglik_magnitudes(self):
+        """Regression: alpha_t+beta_t-log_Z drift used to overflow exp().
+
+        At |alpha| ~ 1e9 the f32 ULP is ~64, so the sequential recursions'
+        random-walk roundoff exceeds exp's overflow threshold within ~1k
+        steps — the same mechanism that NaN'd 100k-frame E-steps at
+        |alpha| ~ 1e6 before per-step posterior normalization.
+        """
+        rng = np.random.RandomState(0)
+        T, K = 2000, 4
+        log_pi0 = np.log(np.ones(K) / K).astype(np.float32)
+        log_P = np.log(rng.dirichlet(np.ones(K), K)).astype(np.float32)
+        # huge per-frame magnitudes: |alpha| reaches ~1e9 by the end
+        log_lik = (rng.randn(T, K) - 1e6).astype(np.float32)
+        gamma, log_Z, xi_sum = hmm_ops.forward_backward(
+            jnp.array(log_pi0), jnp.array(log_P), jnp.array(log_lik))
+        g = np.asarray(gamma)
+        assert np.isfinite(g).all()
+        assert np.allclose(g.sum(axis=1), 1.0, atol=1e-3)
+        assert np.isfinite(np.asarray(xi_sum)).all()
