@@ -299,6 +299,18 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
         tx, train_step, eval_step = make_train_functions(model, hparams)
     opt_state = tx.init(params)
 
+    # k optimizer steps per device dispatch (amortizes host/RPC overhead at
+    # small trial-batch shapes; semantically identical to k single steps —
+    # equivalence: tests/test_fitting/test_bucketing.py). Disabled under dp
+    # sharding (the dp wrapper re-places inputs per step) and for
+    # multi-session seg_lens batches (static per-segment lengths).
+    steps_per_dispatch = int(hparams.get('steps_per_dispatch', 1) or 1)
+    if steps_per_dispatch > 1 and not (hparams.get('dp_sharding', False) and n_dev > 1):
+        multi_step = make_multi_step(model, hparams, tx)
+    else:
+        multi_step = None
+        steps_per_dispatch = 1
+
     logger = Logger(n_datasets=data_generator.n_datasets)
 
     if hparams['enable_early_stop']:
@@ -389,21 +401,67 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
             lambda: data_generator.next_batch('train'),
             data_generator.n_tot_batches['train'],
             depth=int(hparams.get('prefetch_depth', 2)))
+        # dispatch buffer for steps_per_dispatch > 1: consecutive train
+        # batches with identical (dataset, shapes) stack into one scanned
+        # device call; partial groups run through the single-step path so
+        # only one extra compile shape exists per bucket
+        pending = []
+        pending_sig = None
+
+        def flush_pending():
+            nonlocal params, opt_state, pending
+            if not pending:
+                return
+            if multi_step is not None and len(pending) == steps_per_dispatch:
+                rngs = jnp.stack([p[0] for p in pending])
+                stack = {k: np.stack([np.asarray(p[1][k]) for p in pending])
+                         for k in pending[0][1]}
+                ds0 = pending[0][2]
+                params, opt_state, mstack = multi_step(
+                    params, opt_state, rngs, stack, loss_kwargs, ds0)
+                mstack = {k: np.asarray(v) for k, v in mstack.items()}
+                for j in range(len(pending)):
+                    logger.update_metrics(
+                        'train', {k: v[j] for k, v in mstack.items()}, dataset=ds0)
+            else:
+                for rng, b, d in pending:
+                    params, opt_state, m = train_step(
+                        params, opt_state, rng, b, loss_kwargs, d, None)
+                    logger.update_metrics('train', m, dataset=d)
+            pending = []
+
         for i_train, (data, dataset) in enumerate(train_iter):
+            will_log = (i_train + 1) % data_generator.n_tot_batches['train'] == 0
+            will_val = np.any(
+                (i_train + 1) + i_epoch * data_generator.n_tot_batches['train']
+                == val_check_batch)
             if data is not None:
                 batch, ds, seg_lens, _ = _collate(data, dataset, model_class, hparams)
                 ds_idx = 0 if isinstance(ds, list) else ds
                 key, sub = jax.random.split(key)
-                if i_epoch > 0:
+                if i_epoch > 0 and multi_step is not None and seg_lens is None:
+                    sig = (ds_idx, tuple(sorted(
+                        (k, np.asarray(v).shape, str(np.asarray(v).dtype))
+                        for k, v in batch.items())))
+                    if pending and sig != pending_sig:
+                        flush_pending()
+                    pending.append((sub, batch, ds_idx))
+                    pending_sig = sig
+                    if len(pending) == steps_per_dispatch or will_log or will_val:
+                        flush_pending()
+                elif i_epoch > 0:
                     params, opt_state, metrics = train_step(
                         params, opt_state, sub, batch, loss_kwargs, ds_idx, seg_lens)
+                    logger.update_metrics('train', metrics, dataset=ds_idx)
                 else:
                     metrics = eval_step(params, sub, batch, loss_kwargs, ds_idx, seg_lens)
-                logger.update_metrics('train', metrics, dataset=ds_idx)
+                    logger.update_metrics('train', metrics, dataset=ds_idx)
                 first = next(iter(batch.values()))
                 n_frames_epoch += int(first.shape[0])
+            elif will_log or will_val:
+                flush_pending()
 
-            if (i_train + 1) % data_generator.n_tot_batches['train'] == 0:
+            if will_log:
                 exp.log(logger.create_metric_row(
                     'train', i_epoch, i_train, -1, trial=-1,
                     by_dataset=False, best_epoch=best_val_epoch))
@@ -415,8 +473,7 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
                             by_dataset=True, best_epoch=best_val_epoch))
                 exp.save()
 
-            curr_batch = (i_train + 1) + i_epoch * data_generator.n_tot_batches['train']
-            if np.any(curr_batch == val_check_batch):
+            if will_val:
                 logger.reset_metrics('val')
                 data_generator.reset_iterators('val')
                 for _ in range(data_generator.n_tot_batches['val']):
@@ -445,6 +502,8 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
                             'val', i_epoch, i_train, d, trial=-1,
                             by_dataset=True, best_epoch=best_val_epoch))
                 exp.save()
+
+        flush_pending()
 
         if profiling:
             jax.profiler.stop_trace()

@@ -107,6 +107,23 @@ class TestResume:
             assert np.allclose(np.asarray(va), np.asarray(vb), atol=1e-5), \
                 'mismatch at %s: %f' % (str(ka), np.abs(np.asarray(va) - np.asarray(vb)).max())
 
+    def test_steps_per_dispatch_matches_single_step_fit(self, tmpdir, setup):
+        """fit() with k optimizer steps per dispatch reproduces k=1 exactly."""
+        finals = []
+        for tag, spd in (('one', 1), ('multi', 3)):
+            expt = str(tmpdir.join('expt_%s' % tag))
+            hp, model, gen = setup(expt, max_n_epochs=3)
+            hp['steps_per_dispatch'] = spd
+            exp = Experiment('x', expt)
+            hp['expt_dir'] = os.path.join(expt, 'x')
+            fit(hp, model, gen, exp, method='ae')
+            finals.append(_final_params(hp['expt_dir'], 0))
+        flat = [sorted(jax.tree_util.tree_leaves_with_path(p),
+                       key=lambda kv: str(kv[0])) for p in finals]
+        for (ka, va), (kb, vb) in zip(*flat):
+            assert str(ka) == str(kb)
+            assert np.allclose(np.asarray(va), np.asarray(vb), atol=1e-5), str(ka)
+
     def test_checkpoint_contents(self, tmpdir, setup):
         expt = str(tmpdir.join('expt'))
         hp, model, gen = setup(expt, max_n_epochs=1)
