@@ -258,15 +258,64 @@ class ARHMM:
         self.params = new
 
     def sample(self, T, key=None, prefix=None, with_noise=True):
-        """Sample (states, observations) of length T from the generative model."""
+        """Sample (states, observations) of length T from the generative model.
+
+        For recurrent transitions z_{t+1} depends on x_t, so states and
+        observations are sampled interleaved; stationary/sticky models sample
+        the state chain first (one pass) and then the observations.
+        """
         if key is None:
             key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
         k_z, k_x = jax.random.split(key)
-        lp = jax.nn.log_softmax(self.params['log_Ps'], axis=1)
-        # note: for recurrent transitions this samples from the base matrix
-        zs = hmm_ops.sample_states(k_z, self.params['log_pi0'], lp, T)
-        xs = self.sample_x(zs, key=k_x, prefix=prefix, with_noise=with_noise)
-        return np.asarray(zs), xs
+        if self.transitions not in ('recurrent', 'recurrent_only'):
+            lp = jax.nn.log_softmax(self.params['log_Ps'], axis=1)
+            zs = hmm_ops.sample_states(k_z, self.params['log_pi0'], lp, T)
+            xs = self.sample_x(zs, key=k_x, prefix=prefix, with_noise=with_noise)
+            return np.asarray(zs), xs
+
+        K, D = self.K, self.D
+        rs = np.random.RandomState(int(jax.random.randint(k_z, (), 0, 2 ** 31 - 1)))
+        pi0 = np.asarray(jax.nn.softmax(self.params['log_pi0']))
+        log_Ps = np.asarray(self.params['log_Ps'])
+        Rs = np.asarray(self.params['Rs'])
+        r = np.asarray(self.params['r'])
+        chols = np.linalg.cholesky(np.asarray(self.params['Sigmas']) + 1e-8 * np.eye(D))
+        noise = np.asarray(jax.random.normal(k_x, (T, D)))
+        hist = [] if prefix is None else [np.asarray(p) for p in prefix]
+        zs = np.zeros(T, dtype=np.int32)
+        xs = np.zeros((T, D), dtype=np.float32)
+        for t in range(T):
+            if t == 0:
+                zs[0] = rs.choice(K, p=pi0)
+            else:
+                drive = Rs @ xs[t - 1]  # (K,)
+                if self.transitions == 'recurrent':
+                    logits = log_Ps[zs[t - 1]] + drive
+                else:  # recurrent_only: logits independent of previous state
+                    logits = drive + r
+                p = np.exp(logits - logits.max())
+                zs[t] = rs.choice(K, p=p / p.sum())
+            mu = self._ar_mean(int(zs[t]), t, xs, hist)
+            xs[t] = mu + (chols[zs[t]] @ noise[t] if with_noise else 0.0)
+        return zs, xs
+
+    def _ar_mean(self, k, t, xs, hist):
+        """Conditional mean of x_t given state k and the sample history."""
+        D, lags = self.D, self.lags
+        bs = np.asarray(self.params['bs'])
+        if lags == 0:
+            return bs[k]
+        As = np.asarray(self.params['As'])
+        mu = bs[k].copy()
+        for l in range(1, lags + 1):
+            if t - l >= 0:
+                x_lag = xs[t - l]
+            elif len(hist) >= l - t:
+                x_lag = hist[-(l - t)]
+            else:
+                x_lag = np.zeros(D)
+            mu += As[k][:, (l - 1) * D:l * D] @ x_lag
+        return mu
 
     def sample_x(self, states, key=None, prefix=None, with_noise=True):
         """Sample observations conditioned on a state sequence (ssm-like sample_x)."""
@@ -274,28 +323,14 @@ class ARHMM:
             key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
         states = np.asarray(states)
         T = len(states)
-        D, lags = self.D, self.lags
-        As = np.asarray(self.params['As'])
-        bs = np.asarray(self.params['bs'])
-        Sigmas = np.asarray(self.params['Sigmas'])
-        chols = np.linalg.cholesky(Sigmas + 1e-8 * np.eye(D))
+        D = self.D
+        chols = np.linalg.cholesky(np.asarray(self.params['Sigmas']) + 1e-8 * np.eye(D))
         noise = np.asarray(jax.random.normal(key, (T, D)))
         xs = np.zeros((T, D), dtype=np.float32)
         hist = [] if prefix is None else [np.asarray(p) for p in prefix]
         for t in range(T):
-            k = states[t]
-            if lags > 0:
-                mu = bs[k].copy()
-                for l in range(1, lags + 1):
-                    if t - l >= 0:
-                        x_lag = xs[t - l]
-                    elif len(hist) >= l - t:
-                        x_lag = hist[-(l - t)]
-                    else:
-                        x_lag = np.zeros(D)
-                    mu += As[k][:, (l - 1) * D:l * D] @ x_lag
-            else:
-                mu = bs[k]
+            k = int(states[t])
+            mu = self._ar_mean(k, t, xs, hist)
             xs[t] = mu + (chols[k] @ noise[t] if with_noise else 0.0)
         return xs
 
@@ -501,23 +536,32 @@ class ARHMM:
         return jax.vmap(one)(x)
 
     def _m_step_recurrent(self, new, params, x, mask):
-        """Gradient M-step for input-driven transition parameters."""
+        """Gradient M-step for input-driven transition parameters.
+
+        The expected transitions (posteriors under the *old* params) are
+        constant w.r.t. the optimized parameters, so the E-step message
+        passing runs exactly once here — not once per gradient evaluation.
+        """
         import optax
+
+        def e_one(xi, mi):
+            ll = self._log_likes(params, xi, mi)
+            lp_old = self._log_P(params, xi, mi)
+            return hmm_ops.expected_transitions(params['log_pi0'], lp_old, ll, mi)
+
+        xis_all = jax.vmap(e_one)(x, mask)  # (N, T-1, K, K)
 
         def objective(trans_params):
             p = dict(params)
             p.update(trans_params)
 
-            def one(xi, mi):
-                ll = self._log_likes(params, xi, mi)
-                lp_old = self._log_P(params, xi, mi)
-                xis = hmm_ops.expected_transitions(params['log_pi0'], lp_old, ll, mi)
+            def one(xi, mi, xis):
                 lp_new = self._log_P(p, xi, mi)
                 lp_new = lp_new if lp_new.ndim == 3 else jnp.broadcast_to(
                     lp_new[None], xis.shape)
                 return jnp.sum(xis * lp_new)
 
-            return -jnp.sum(jax.vmap(one)(x, mask))
+            return -jnp.sum(jax.vmap(one)(x, mask, xis_all))
 
         trans = {'log_Ps': params['log_Ps'], 'Rs': params['Rs'], 'r': params['r']}
         tx = optax.adam(1e-2)
@@ -571,4 +615,9 @@ class ARHMM:
         for _ in range(num_iters):
             self.params, ll = self._fit_step(self.params, x, mask)
             lls.append(float(ll))
+            # relative-tolerance convergence stop (ssm HMM.fit semantics; the
+            # same rule the CLI applies to val LL, arhmm_grid_search.py)
+            if tolerance > 0 and len(lls) >= 2 and \
+                    abs((lls[-1] - lls[-2]) / lls[-1]) < tolerance:
+                break
         return lls

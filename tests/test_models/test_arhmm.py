@@ -182,6 +182,38 @@ class TestARHMM:
         with pytest.raises(ValueError):
             ARHMM(K=2, D=2, transitions='bogus')
 
+    def test_fit_tolerance_stops_early(self):
+        """fit(tolerance=) must trigger a relative-LL convergence stop."""
+        x, _ = make_gaussian_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=0, observations='gaussian', rng_seed=0)
+        hmm.initialize([x])
+        lls = hmm.fit([x], num_iters=50, tolerance=1e-4)
+        assert len(lls) < 50, 'tolerance-based stop never fired'
+        assert abs((lls[-1] - lls[-2]) / lls[-1]) < 1e-4
+        # tolerance=0 (default) runs all requested iterations
+        hmm2 = ARHMM(K=2, D=2, lags=0, observations='gaussian', rng_seed=0)
+        hmm2.initialize([x])
+        assert len(hmm2.fit([x], num_iters=5)) == 5
+
+    def test_recurrent_sample_follows_drive(self):
+        """sample() must use the input-driven transitions, not the base matrix."""
+        import jax
+        hmm = ARHMM(K=2, D=1, lags=0, observations='gaussian',
+                    transitions='recurrent_only', rng_seed=0)
+        # state 0 emits +1, state 1 emits -1 (tiny noise); the drive maps
+        # x>0 -> state 1 and x<0 -> state 0, forcing strict alternation
+        hmm.params = dict(
+            hmm.params,
+            bs=np.array([[1.0], [-1.0]], dtype=np.float32),
+            Sigmas=np.full((2, 1, 1), 1e-6, dtype=np.float32),
+            Rs=np.array([[-50.0], [50.0]], dtype=np.float32),
+            r=np.zeros(2, dtype=np.float32))
+        zs, xs = hmm.sample(60, key=jax.random.PRNGKey(0))
+        flips = np.mean(np.diff(zs) != 0)
+        assert flips > 0.95, 'recurrent drive ignored in sampling (flip rate %.2f)' % flips
+        # emitted observations track the sampled states
+        assert np.all(np.sign(xs[:, 0]) == np.where(zs == 0, 1, -1))
+
 
 class TestMeshEM:
     """Data-parallel EM over a device mesh matches single-device EM exactly."""
