@@ -265,7 +265,7 @@ def _collate(data, dataset, model_class, hparams):
         return batch, dataset, seg_lens, trial
     batch = _prepare_batch(data, model_class, hparams)
     bucket = hparams.get('shape_bucket', 32)
-    if bucket and hparams.get('noise_dist') != 'gaussian-full':
+    if bucket:
         batch = _bucket_batch(batch, int(bucket))
     return batch, dataset, None, int(data['batch_idx'])
 

@@ -248,11 +248,12 @@ class Decoder(base.BaseModel):
         if noise == 'gaussian':
             raw = losses.mse(out_w, tgt_w, frame_mask=w)
         elif noise == 'gaussian-full':
-            if fm is not None:
-                raise NotImplementedError(
-                    'gaussian-full decoding requires exact-shape batches')
-            raw = losses.gaussian_neg_log_prob(
-                out_w, tgt_w, precision[max_lags:T - max_lags])
+            if fm is None:
+                raw = losses.gaussian_neg_log_prob(
+                    out_w, tgt_w, precision[max_lags:T - max_lags])
+            else:
+                raw = losses.gaussian_neg_log_prob(
+                    out_w, tgt_w, precision, frame_mask=w)
         elif noise == 'poisson':
             # torch PoissonNLLLoss(log_input=False, full=False, eps=1e-8)
             nll = out_w - tgt_w * jnp.log(out_w + 1e-8)

@@ -156,21 +156,37 @@ def subspace_overlap(A, B, C=None):
     return jnp.mean((U @ U.T - jnp.eye(d)) ** 2)
 
 
-def gaussian_neg_log_prob(y_pred, y_true, cov):
-    """Negative MVN log-probability with learned (non-data-dependent) covariance.
+def gaussian_neg_log_prob(y_pred, y_true, cov, frame_mask=None):
+    """Negative MVN log-probability with learned covariance.
 
     Matches the reference GaussianNegLogProb module (losses.py:17-33):
-    covariance = 1e-3*I + cov; mean over batch.
+    covariance = 1e-3*I + cov; mean over batch. ``cov`` is (d, d) shared or
+    (B, d, d) data-dependent (the decoder's per-frame precision head —
+    torch's MultivariateNormal broadcasts the batch the same way).
+    ``frame_mask`` (B,) restricts the mean to valid rows of a padded batch;
+    masked rows' covariances are replaced by I before factorization so pad
+    garbage cannot produce NaNs.
     """
     d = y_true.shape[1]
     sigma = 1e-3 * jnp.eye(d) + cov
-    chol = jnp.linalg.cholesky(sigma)
     diff = y_true - y_pred  # (B, d)
-    sol = jax.scipy.linalg.solve_triangular(chol, diff.T, lower=True)  # (d, B)
-    maha = jnp.sum(sol ** 2, axis=0)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-    ll = -0.5 * (d * LN2PI + logdet + maha)
-    return jnp.mean(-ll)
+    if sigma.ndim == 2:
+        chol = jnp.linalg.cholesky(sigma)
+        sol = jax.scipy.linalg.solve_triangular(chol, diff.T, lower=True)  # (d, B)
+        maha = jnp.sum(sol ** 2, axis=0)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    else:
+        if frame_mask is not None:
+            sigma = jnp.where(frame_mask[:, None, None] > 0, sigma, jnp.eye(d))
+        chol = jnp.linalg.cholesky(sigma)  # (B, d, d)
+        sol = jax.vmap(
+            lambda c, r: jax.scipy.linalg.solve_triangular(c, r, lower=True))(chol, diff)
+        maha = jnp.sum(sol ** 2, axis=1)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)
+    nll = 0.5 * (d * LN2PI + logdet + maha)
+    if frame_mask is None:
+        return jnp.mean(nll)
+    return jnp.sum(nll * frame_mask) / jnp.maximum(jnp.sum(frame_mask), 1.0)
 
 
 def _pdist(a, b, eps=1e-6):

@@ -79,8 +79,8 @@ def make_dp_train_functions(model, hparams, mesh, axis_name='dp'):
     n_dev = mesh.devices.size
 
     def _put(batch):
-        # exact-shape batches (gaussian-full, multi-session seg_lens) may not
-        # divide the mesh; replicate those instead of failing the shard
+        # exact-shape batches (multi-session seg_lens) may not divide the
+        # mesh; replicate those instead of failing the shard
         return {
             k: jax.device_put(
                 v, shard if np.asarray(v).shape[0] % n_dev == 0 else repl)

@@ -109,6 +109,60 @@ class TestBucketEquivalence:
         assert np.allclose(float(m_exact['r2']), float(m_buck['r2']), atol=1e-4)
 
 
+    def test_gaussian_full_decoder_loss_equal(self):
+        """gaussian-full (data-dependent precision) under bucketing matches exact."""
+        hp = {'model_class': 'neural-ae', 'model_type': 'mlp-mv', 'input_size': 10,
+              'output_size': 3, 'n_hid_layers': 1, 'n_hid_units': 8, 'n_lags': 2,
+              'n_max_lags': 4, 'noise_dist': 'gaussian-full', 'activation': 'relu'}
+        model = Decoder(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        rs = np.random.RandomState(0)
+        T = 41
+        batch = {'predictors': rs.randn(T, 10).astype(np.float32),
+                 'targets': rs.randn(T, 3).astype(np.float32)}
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, m_exact = model.loss_fn(params, jb, jax.random.PRNGKey(1))
+        bb = _bucket_batch(batch, 32)
+        jbb = {k: jnp.asarray(v) for k, v in bb.items()}
+        _, m_buck = model.loss_fn(params, jbb, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m_buck['loss']))
+        assert np.allclose(float(m_exact['loss']), float(m_buck['loss']), atol=1e-4)
+        assert np.allclose(float(m_exact['r2']), float(m_buck['r2']), atol=1e-4)
+
+    def test_gaussian_full_dp_sharded_matches_single(self):
+        """Bucketed gaussian-full batches shard over the mesh (not replicated)."""
+        from jax.sharding import Mesh
+        from behavenet_tpu.fitting.training import make_train_functions
+        from behavenet_tpu.parallel.mesh import make_dp_train_functions
+
+        hp = {'model_class': 'neural-ae', 'model_type': 'mlp-mv', 'input_size': 10,
+              'output_size': 3, 'n_hid_layers': 1, 'n_hid_units': 8, 'n_lags': 2,
+              'n_max_lags': 4, 'noise_dist': 'gaussian-full', 'activation': 'relu',
+              'learning_rate': 1e-3, 'l2_reg': 0.0}
+        model = Decoder(hp)
+        rs = np.random.RandomState(0)
+        batch = {'predictors': rs.randn(41, 10).astype(np.float32),
+                 'targets': rs.randn(41, 3).astype(np.float32)}
+        bb = _bucket_batch(batch, 64)  # 64 divides the 8-device mesh
+        jb = {k: jnp.asarray(v) for k, v in bb.items()}
+
+        def run(step_fns):
+            tx, train_step, _ = step_fns
+            params = model.init(jax.random.PRNGKey(0))
+            opt_state = tx.init(params)
+            losses_run = []
+            for _ in range(3):
+                params, opt_state, m = train_step(
+                    params, opt_state, jax.random.PRNGKey(1), dict(jb), {}, 0, None)
+                losses_run.append(float(m['loss']))
+            return losses_run
+
+        losses_s = run(make_train_functions(model, hp))
+        mesh = Mesh(np.array(jax.devices()), ('dp',))
+        losses_d = run(make_dp_train_functions(model, hp, mesh))
+        assert np.allclose(losses_s, losses_d, rtol=1e-4), (losses_s, losses_d)
+
+
 class TestMultiStep:
 
     def test_multi_step_equals_sequential_steps(self):
