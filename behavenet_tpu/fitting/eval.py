@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['export_latents', 'export_states', 'export_predictions',
-           'get_reconstruction', 'get_test_metric', 'export_train_plots']
+           'export_predictions_conv_decoder', 'get_reconstruction',
+           'get_test_metric', 'export_train_plots']
 
 
 def _img_to_device(images):
@@ -172,6 +173,49 @@ def export_predictions(data_generator, model, params, filename=None, version=Non
         print('saving predictions %i of %i to %s' % (
             sess + 1, data_generator.n_datasets, filename_save))
         predictions_dict = {'predictions': predictions[sess], 'trials': dataset.batch_idxs}
+        with open(filename_save, 'wb') as f:
+            pickle.dump(predictions_dict, f)
+        filenames.append(filename_save)
+    return filenames
+
+
+def export_predictions_conv_decoder(data_generator, model, params, filename=None,
+                                    version=None, expt_dir=None):
+    """Export predicted images per trial for the labels->images conv decoder.
+
+    The reference leaves this unimplemented (training.py:459-461 prints a
+    warning and skips); here every trial exports as a float32 (T, C, H, W)
+    array in [0, 1] — the reference's image-layout convention (data.hdf5
+    stores TCHW) — in the standard ``..._predictions.pkl`` format
+    ({'predictions': [per-trial arrays], 'trials': batch_idxs}).
+    """
+    predictions = [[] for _ in range(data_generator.n_datasets)]
+    for sess, dataset in enumerate(data_generator.datasets):
+        predictions[sess] = [np.array([]) for _ in range(dataset.n_trials)]
+
+    for dtype in ['train', 'val', 'test']:
+        data_generator.reset_iterators(dtype)
+        for _ in range(data_generator.n_tot_batches[dtype]):
+            data, sess = data_generator.next_batch(dtype)
+            y = jnp.asarray(data['labels'], dtype=jnp.float32)
+            ims = np.asarray(model.forward(params, y, dataset=sess))  # NHWC
+            predictions[sess][data['batch_idx']] = np.transpose(ims, (0, 3, 1, 2))
+
+    expt_dir = expt_dir if expt_dir is not None else model.hparams['expt_dir']
+    version = version if version is not None else getattr(model, 'version')
+
+    filenames = []
+    for sess, dataset in enumerate(data_generator.datasets):
+        if filename is None:
+            sess_id = '%s_%s_%s_%s_predictions.pkl' % (
+                dataset.lab, dataset.expt, dataset.animal, dataset.session)
+            filename_save = os.path.join(expt_dir, 'version_%i' % version, sess_id)
+        else:
+            filename_save = filename
+        print('saving image predictions %i of %i to %s' % (
+            sess + 1, data_generator.n_datasets, filename_save))
+        predictions_dict = {'predictions': predictions[sess],
+                            'trials': dataset.batch_idxs}
         with open(filename_save, 'wb') as f:
             pickle.dump(predictions_dict, f)
         filenames.append(filename_save)

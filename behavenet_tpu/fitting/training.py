@@ -569,7 +569,11 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
         export_predictions(data_generator, model, best_params,
                            version=exp.version, expt_dir=hparams['expt_dir'])
     elif method == 'conv-decoder' and hparams.get('export_predictions', False):
-        print('warning! exporting predictions not currently implemented for '
-              'convolutional decoder')
+        # the reference warns and skips here (training.py:459-461); we export
+        print('exporting image predictions')
+        from behavenet_tpu.fitting.eval import export_predictions_conv_decoder
+        export_predictions_conv_decoder(data_generator, model, best_params,
+                                        version=exp.version,
+                                        expt_dir=hparams['expt_dir'])
 
     return best_params
