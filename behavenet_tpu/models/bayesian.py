@@ -17,14 +17,20 @@ per-state AR parameters come from a fitted :class:`behavenet_tpu.models
 - discrete evidence: the neural->state decoder probabilities ``q_t(k)``
   enter the discrete-state forward-backward as extra log-likelihood terms.
 
-Inference is a collapsed Gaussian-sum (IMM / GPB1) filter + RTS smoother
-implemented as ``lax.scan`` over time, fully jittable:
+AR(L) dynamics for any L are handled in companion form: the continuous
+state augments to s_t = [x_t, x_{t-1}, ..., x_{t-L+1}] with block-shift
+dynamics and observation matrix H = [I 0 ... 0].
+
+Inference is:
 
 1. discrete posterior gamma_t(k) via log-space forward-backward combining
-   ARHMM transitions with both evidence terms,
-2. continuous posterior via a soft-weighted Kalman filter: per state
-   predict with (A_k, b_k, Q_k), update with y_t, moment-match under
-   gamma_t, then an RTS backward pass.
+   ARHMM transitions with both evidence terms;
+2. continuous posterior either by a collapsed Gaussian-sum (IMM / GPB1)
+   filter + RTS smoother (``lax.scan``, the default), or — for long trials
+   — by the parallel associative Kalman filter/smoother of
+   :mod:`behavenet_tpu.ops.kalman` over the gamma-weighted (soft) dynamics
+   (``decode(parallel=True)``, depth O(log T); drops the IMM mixture-spread
+   term, a small approximation when gamma is concentrated).
 """
 
 import jax
@@ -33,12 +39,13 @@ import numpy as np
 from jax import lax
 
 from behavenet_tpu.ops import hmm as hmm_ops
+from behavenet_tpu.ops import kalman
 
 __all__ = ['BayesianDecoder']
 
 
 class BayesianDecoder:
-    """Fuses an ARHMM prior with neural decoder outputs (AR lags=1 or 0)."""
+    """Fuses an ARHMM prior with neural decoder outputs (any AR lag order)."""
 
     model_class = 'bayesian-decoding'
 
@@ -54,11 +61,11 @@ class BayesianDecoder:
         state_evidence_weight : float
             weight on the neural state-decoder log-probabilities
         """
-        if arhmm.lags > 1:
-            raise NotImplementedError('Bayesian decoding supports AR lags <= 1')
         self.arhmm = arhmm
         self.K = arhmm.K
         self.D = arhmm.D
+        self.lags = max(int(arhmm.lags), 1)  # lags=0 -> random walk form, L=1
+        self.n = self.D * self.lags          # augmented state dim
         self.state_evidence_weight = float(state_evidence_weight)
         self.R = None if obs_noise is None else jnp.asarray(obs_noise, dtype=jnp.float32)
 
@@ -80,16 +87,30 @@ class BayesianDecoder:
         self.R = jnp.asarray(np.atleast_2d(R), dtype=jnp.float32)
         return self.R
 
-    def _dynamics(self):
-        """Per-state (A, b, Q) from the ARHMM params."""
+    @property
+    def _H(self):
+        """(D, n) observation matrix picking x_t out of the companion state."""
+        return jnp.eye(self.D, self.n)
+
+    def _ar_weights(self):
+        """(K, D, D*L) AR weight blocks [A_1 ... A_L] (zeros for lags=0)."""
         p = self.arhmm.params
-        D = self.D
-        if self.arhmm.lags == 1:
-            As = p['As'][:, :, :D]
-        else:  # lags == 0: random walk around state mean
-            As = jnp.zeros((self.K, D, D))
-        bs = p['bs']
-        Qs = p['Sigmas']
+        if self.arhmm.lags == 0:
+            return jnp.zeros((self.K, self.D, self.n))
+        return p['As']
+
+    def _aug_dynamics(self):
+        """Companion-form per-state dynamics (A (K,n,n), b (K,n), Q (K,n,n))."""
+        p = self.arhmm.params
+        D, L, K, n = self.D, self.lags, self.K, self.n
+        A_top = self._ar_weights()                       # (K, D, n)
+        shift = jnp.zeros((n - D, n)).at[:, :n - D].set(jnp.eye(n - D)) \
+            if L > 1 else jnp.zeros((0, n))
+        As = jnp.concatenate(
+            [A_top, jnp.broadcast_to(shift[None], (K, n - D, n))], axis=1)
+        bs = jnp.concatenate([p['bs'], jnp.zeros((K, n - D))], axis=1)
+        Qs = jnp.zeros((K, n, n)) + 1e-6 * jnp.eye(n)[None]
+        Qs = Qs.at[:, :D, :D].add(p['Sigmas'])
         return As, bs, Qs
 
     # ----------------------------------------------------------- decoding
@@ -108,17 +129,25 @@ class BayesianDecoder:
             terms.append(self.state_evidence_weight * jnp.log(q))
         if ae_predictions is not None:
             # continuous evidence enters the discrete chain through the
-            # per-state predictive likelihood of y_t under (A_k, b_k, Q_k + R)
+            # per-state one-step predictive likelihood of y_t under
+            # (A_k, b_k, Q_k + R), with the AR history read from y itself
             y = jnp.asarray(ae_predictions, dtype=jnp.float32)
-            As, bs, Qs = self._dynamics()
+            Qs = self.arhmm.params['Sigmas']
             covs = Qs + self.R[None]
             chol = jnp.linalg.cholesky(covs + 1e-6 * jnp.eye(self.D)[None])
             Linv = jax.vmap(lambda c: jax.scipy.linalg.solve_triangular(
                 c, jnp.eye(self.D), lower=True))(chol)
             logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)
-            # one-step-ahead mean from the previous *observation*
-            y_prev = jnp.concatenate([y[:1], y[:-1]], axis=0)
-            mus = jnp.einsum('kde,te->tkd', As, y_prev) + bs[None]
+            if self.arhmm.lags == 0:
+                mus = jnp.broadcast_to(
+                    self.arhmm.params['bs'][None], (y.shape[0], self.K, self.D))
+            else:
+                # lagged history with the first rows clamped to y[0]
+                feats = jnp.concatenate(
+                    [jnp.concatenate([jnp.tile(y[:1], (l, 1)), y[:-l]], axis=0)
+                     for l in range(1, self.lags + 1)], axis=1)  # (T, D*L)
+                mus = jnp.einsum('kdp,tp->tkd', self._ar_weights(), feats) \
+                    + self.arhmm.params['bs'][None]
             diff = y[:, None, :] - mus
             sol = jnp.einsum('kde,tke->tkd', Linv, diff)
             maha = jnp.sum(sol ** 2, axis=2)
@@ -127,7 +156,8 @@ class BayesianDecoder:
             raise ValueError('need at least one of ae_predictions / arhmm_predictions')
         return sum(terms)
 
-    def decode(self, ae_predictions, arhmm_predictions=None, smooth=True):
+    def decode(self, ae_predictions, arhmm_predictions=None, smooth=True,
+               parallel=False):
         """Decode latents + states from neural predictions for one trial.
 
         Parameters
@@ -138,7 +168,12 @@ class BayesianDecoder:
         arhmm_predictions : (T, K), optional
             neural->state decoder probabilities
         smooth : bool
-            run the RTS backward pass
+            run the (RTS / associative) backward pass
+        parallel : bool
+            use the O(log T)-depth associative Kalman over gamma-weighted
+            soft dynamics instead of the sequential IMM filter — preferred
+            for very long trials; omits the IMM mixture-spread covariance
+            term (negligible when the state posterior is concentrated)
 
         Returns
         -------
@@ -148,7 +183,6 @@ class BayesianDecoder:
         if self.R is None:
             raise RuntimeError('call estimate_obs_noise() or pass obs_noise first')
         y = np.asarray(ae_predictions, dtype=np.float32)
-        T = y.shape[0]
         obs_mask = (~np.any(np.isnan(y), axis=1)).astype(np.float32)
         y = np.nan_to_num(y)
 
@@ -162,49 +196,68 @@ class BayesianDecoder:
             self.arhmm.params['log_pi0'], log_P, ll)
         states = hmm_ops.viterbi(self.arhmm.params['log_pi0'], log_P, ll)
 
-        mus_f, Sigmas_f, mus_p, Sigmas_p = self._kalman_filter(
-            jnp.asarray(y), jnp.asarray(obs_mask), gamma)
-        if smooth:
-            mus_s, Sigmas_s = self._rts_smoother(
-                mus_f, Sigmas_f, mus_p, Sigmas_p, gamma)
+        y = jnp.asarray(y)
+        obs_mask = jnp.asarray(obs_mask)
+        if parallel:
+            mus_s, Sigmas_s = self._soft_kalman_parallel(y, obs_mask, gamma, smooth)
         else:
-            mus_s, Sigmas_s = mus_f, Sigmas_f
+            mus_f, Sigmas_f, mus_p, Sigmas_p = self._kalman_filter(y, obs_mask, gamma)
+            if smooth:
+                mus_s, Sigmas_s = self._rts_smoother(
+                    mus_f, Sigmas_f, mus_p, Sigmas_p, gamma)
+            else:
+                mus_s, Sigmas_s = mus_f, Sigmas_f
 
+        D = self.D
         return {
-            'latents': np.asarray(mus_s),
-            'latents_cov': np.asarray(Sigmas_s),
+            'latents': np.asarray(mus_s[:, :D]),
+            'latents_cov': np.asarray(Sigmas_s[:, :D, :D]),
             'states': np.asarray(states),
             'states_posterior': np.asarray(gamma),
         }
 
-    def _kalman_filter(self, y, obs_mask, gamma):
-        """Soft-weighted (IMM-collapsed) Kalman filter, scan over time."""
-        As, bs, Qs = self._dynamics()
-        R = self.R
-        D = self.D
-        I = jnp.eye(D)
+    def _init_moments(self, y, gamma):
+        """Prior moments of the augmented state at t=0."""
+        Qs = self.arhmm.params['Sigmas']
+        mu0 = jnp.tile(y[0], self.lags)                      # (n,)
+        Sigma0 = jnp.kron(jnp.eye(self.lags), self.R) \
+            + jnp.kron(jnp.eye(self.lags),
+                       jnp.einsum('k,kde->de', gamma[0], Qs))
+        return mu0, Sigma0
 
-        mu0 = y[0]
-        Sigma0 = R + jnp.einsum('k,kde->de', gamma[0], Qs)
+    def _kalman_filter(self, y, obs_mask, gamma):
+        """Soft-weighted (IMM-collapsed) Kalman filter on the companion state."""
+        As, bs, Qs = self._aug_dynamics()
+        H = self._H
+        R = self.R
+        n = self.n
+        I_n = jnp.eye(n)
+
+        mu0, Sigma0 = self._init_moments(y, gamma)
+
+        def update(mu_pred, Sigma_pred, y_t, m_t):
+            S = H @ Sigma_pred @ H.T + R
+            Kg = jnp.linalg.solve(S, H @ Sigma_pred).T        # (n, D)
+            mu_upd = mu_pred + Kg @ (y_t - H @ mu_pred)
+            Sigma_upd = (I_n - Kg @ H) @ Sigma_pred
+            mu_new = jnp.where(m_t > 0, mu_upd, mu_pred)
+            Sigma_new = jnp.where(m_t > 0, Sigma_upd, Sigma_pred)
+            return mu_new, Sigma_new
+
+        # t = 0: update the prior with the first observation
+        mu0, Sigma0 = update(mu0, Sigma0, y[0], obs_mask[0])
 
         def step(carry, inp):
             mu_prev, Sigma_prev = carry
             y_t, m_t, g_t = inp
             # soft predict: moment-matched mixture over states
-            mu_k = jnp.einsum('kde,e->kd', As, mu_prev) + bs  # (K, D)
+            mu_k = jnp.einsum('kde,e->kd', As, mu_prev) + bs  # (K, n)
             mu_pred = jnp.einsum('k,kd->d', g_t, mu_k)
             diff = mu_k - mu_pred[None]
             Sigma_k = jnp.einsum('kde,ef,kgf->kdg', As, Sigma_prev, As) + Qs
             Sigma_pred = jnp.einsum('k,kde->de', g_t, Sigma_k) + \
                 jnp.einsum('k,kd,ke->de', g_t, diff, diff)
-            # update with the neural pseudo-observation
-            S = Sigma_pred + R
-            Kg = jnp.linalg.solve(S, Sigma_pred).T  # (D, D)
-            innov = y_t - mu_pred
-            mu_upd = mu_pred + Kg @ innov
-            Sigma_upd = (I - Kg) @ Sigma_pred
-            mu_new = jnp.where(m_t > 0, mu_upd, mu_pred)
-            Sigma_new = jnp.where(m_t > 0, Sigma_upd, Sigma_pred)
+            mu_new, Sigma_new = update(mu_pred, Sigma_pred, y_t, m_t)
             return (mu_new, Sigma_new), (mu_new, Sigma_new, mu_pred, Sigma_pred)
 
         (_, _), (mus_f, Sigmas_f, mus_p, Sigmas_p) = lax.scan(
@@ -215,14 +268,15 @@ class BayesianDecoder:
 
     def _rts_smoother(self, mus_f, Sigmas_f, mus_p, Sigmas_p, gamma):
         """RTS backward pass with the soft-mixture dynamics matrix."""
-        As, _, _ = self._dynamics()
+        As, _, _ = self._aug_dynamics()
+        n = self.n
 
         def step(carry, inp):
             mu_next, Sigma_next = carry
             mu_f, Sigma_f, mu_p, Sigma_p, g_t = inp
             A_soft = jnp.einsum('k,kde->de', g_t, As)
             C = Sigma_f @ A_soft.T
-            G = jnp.linalg.solve(Sigma_p + 1e-6 * jnp.eye(self.D), C.T).T
+            G = jnp.linalg.solve(Sigma_p + 1e-6 * jnp.eye(n), C.T).T
             mu_s = mu_f + G @ (mu_next - mu_p)
             Sigma_s = Sigma_f + G @ (Sigma_next - Sigma_p) @ G.T
             return (mu_s, Sigma_s), (mu_s, Sigma_s)
@@ -236,3 +290,21 @@ class BayesianDecoder:
         mus_s = jnp.concatenate([mus_s, mus_f[-1:]], axis=0)
         Sigmas_s = jnp.concatenate([Sigmas_s, Sigmas_f[-1:]], axis=0)
         return mus_s, Sigmas_s
+
+    def _soft_kalman_parallel(self, y, obs_mask, gamma, smooth):
+        """Gamma-weighted time-varying LDS solved with associative scans."""
+        As, bs, Qs = self._aug_dynamics()
+        F = jnp.einsum('tk,kde->tde', gamma, As)
+        c = jnp.einsum('tk,kd->td', gamma, bs)
+        Q = jnp.einsum('tk,kde->tde', gamma, Qs)
+        mu0, Sigma0 = self._init_moments(y, gamma)
+        # element 0 carries the prior straight through: F0 = I, c0 = 0
+        n = self.n
+        F = F.at[0].set(jnp.eye(n))
+        c = c.at[0].set(jnp.zeros(n))
+        Q = Q.at[0].set(1e-6 * jnp.eye(n))
+        ms, Ps = kalman.filter_parallel(
+            F, c, Q, self._H, self.R, y, obs_mask, mu0, Sigma0)
+        if smooth:
+            ms, Ps = kalman.smooth_parallel(F, c, Q, ms, Ps)
+        return ms, Ps

@@ -98,3 +98,58 @@ class TestBayesianDecoder:
         dec = BayesianDecoder(hmm)
         gamma = dec.states_posterior(arhmm_predictions=q)
         assert gamma.shape == (len(x), 2)
+
+    def test_lags2_decoding(self):
+        """AR(2) dynamics decode via companion-form state augmentation."""
+        rng = np.random.RandomState(0)
+        T = 300
+        x = np.zeros((T, 2))
+        for t in range(2, T):
+            x[t] = 0.6 * x[t - 1] + 0.3 * x[t - 2] + 0.1 * rng.randn(2)
+        x = x.astype(np.float32)
+        y = (x + 0.5 * rng.randn(T, 2)).astype(np.float32)
+        hmm = ARHMM(K=2, D=2, lags=2, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=10)
+        dec = BayesianDecoder(hmm)
+        assert dec.n == 4  # augmented state dim D * lags
+        dec.estimate_obs_noise([x], [y])
+        out = dec.decode(y)
+        assert out['latents'].shape == (T, 2)
+        assert out['latents_cov'].shape == (T, 2, 2)
+        mse_raw = float(np.mean((y - x) ** 2))
+        mse_dec = float(np.mean((out['latents'] - x) ** 2))
+        assert mse_dec < mse_raw, 'decoded %f vs raw %f' % (mse_dec, mse_raw)
+
+    def test_parallel_decode_matches_imm(self):
+        """Associative-Kalman soft path tracks the sequential IMM decode."""
+        x, y, z, q = make_slds_data(seed=2)
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        dec.estimate_obs_noise([x], [y])
+        out_imm = dec.decode(y, arhmm_predictions=q)
+        out_par = dec.decode(y, arhmm_predictions=q, parallel=True)
+        # identical discrete pass
+        assert np.allclose(out_imm['states_posterior'], out_par['states_posterior'])
+        # continuous pass differs only by the IMM mixture-spread term
+        mse_raw = float(np.mean((y - x) ** 2))
+        mse_imm = float(np.mean((out_imm['latents'] - x) ** 2))
+        mse_par = float(np.mean((out_par['latents'] - x) ** 2))
+        # both are far below raw (~15x); the soft path gives up a modest
+        # fraction of the IMM's accuracy at state switches (spread term)
+        assert mse_par < 0.2 * mse_raw, (mse_par, mse_raw)
+        assert mse_par < 1.5 * mse_imm, (mse_imm, mse_par)
+        # and the trajectories agree closely where the posterior is concentrated
+        conc = out_imm['states_posterior'].max(axis=1) > 0.99
+        diff = np.abs(out_imm['latents'] - out_par['latents'])[conc]
+        assert np.median(diff) < 0.05, float(np.median(diff))
+
+    def test_parallel_decode_nan_borders(self):
+        x, y, z, q = make_slds_data(T=200, seed=3)
+        y[:4] = np.nan
+        y[-4:] = np.nan
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        dec.estimate_obs_noise([x[4:-4]], [y[4:-4]])
+        out = dec.decode(y, arhmm_predictions=q, parallel=True)
+        assert np.isfinite(out['latents']).all()
