@@ -129,35 +129,42 @@ def main(hparams, *args):
         mesh = Mesh(np.array(jax.devices()), ('dp',))
         print('sharding EM over %i devices' % len(jax.devices()))
 
-    val_ll_prev = np.inf
+    # logging scopes: aggregate row (dataset=-1) + one row per session.
+    # (reference arhmm_grid_search.py:164-198 contract: epoch 0 logs the
+    # initialized model; each epoch = one EM iteration followed by
+    # per-datapoint-normalized train/val negative LLs; early stop on the
+    # relative val-LL change after epoch 10.)
+    scopes = [(-1, latents, {k: n_datapoints[k] for k in n_datapoints})]
+    scopes += [(d, latents_sess[d],
+                {k: n_datapoints_sess[k][d] for k in n_datapoints_sess})
+               for d in range(n_datasets)]
+
+    def neg_ll_rows(epoch):
+        rows = []
+        for d, arrs, norms in scopes:
+            rows.append({
+                'epoch': epoch, 'dataset': d, 'trial': -1,
+                'tr_loss': -hmm.log_likelihood(arrs['train']) / norms['train'],
+                'val_loss': -hmm.log_likelihood(arrs['val']) / norms['val']})
+        return rows
+
     tolerance = hparams.get('arhmm_es_tol', 0)
+    val_ll_hist = []
     epoch = 0
     for epoch in range(hparams['n_iters'] + 1):
-        # epoch 0 evaluates the initialized model (reference :164-168)
         print('epoch %03i/%03i' % (epoch, hparams['n_iters']))
         if epoch > 0:
             hmm.fit(latents['train'], method='em', num_iters=1, initialize=False,
                     mesh=mesh)
-
-        tr_ll = -hmm.log_likelihood(latents['train']) / n_datapoints['train']
-        val_ll = -hmm.log_likelihood(latents['val']) / n_datapoints['val']
-        exp.log({
-            'epoch': epoch, 'dataset': -1, 'tr_loss': tr_ll, 'val_loss': val_ll, 'trial': -1})
-
-        for d in range(data_generator.n_datasets):
-            tr_ll_d = -hmm.log_likelihood(latents_sess[d]['train']) / \
-                n_datapoints_sess['train'][d]
-            val_ll_d = -hmm.log_likelihood(latents_sess[d]['val']) / \
-                n_datapoints_sess['val'][d]
-            exp.log({
-                'epoch': epoch, 'dataset': d, 'tr_loss': tr_ll_d, 'val_loss': val_ll_d,
-                'trial': -1})
-
-        if epoch > 10 and np.abs((val_ll - val_ll_prev) / val_ll) < tolerance:
-            print('relative change less than tolerance=%1.2f; training terminating!'
+        rows = neg_ll_rows(epoch)
+        for row in rows:
+            exp.log(row)
+        val_ll_hist.append(rows[0]['val_loss'])
+        if epoch > 10 and len(val_ll_hist) >= 2 and np.abs(
+                (val_ll_hist[-1] - val_ll_hist[-2]) / val_ll_hist[-1]) < tolerance:
+            print('relative val-LL change below tolerance=%1.2f; stopping EM'
                   % tolerance)
             break
-        val_ll_prev = val_ll
 
     # per-trial test LLs
     for d in range(n_datasets):

@@ -137,103 +137,89 @@ def _get_transition_str(hparams):
     return hparams['transitions']
 
 
+_SESSION_HIERARCHY = ('lab', 'expt', 'animal', 'session')
+
+
+def _session_identity(sess):
+    """Hashable identity of one session dict (save_dir is location, not identity)."""
+    return tuple(sorted((k, v) for k, v in sess.items() if k != 'save_dir'))
+
+
+def _load_session_infos(csv_file):
+    sessions = read_session_info_from_csv(csv_file)
+    for sess in sessions:
+        sess.pop('save_dir', None)
+    return sessions
+
+
+def _match_or_allocate_multisession(multisession_paths, sessions_single):
+    """Index of the multisession dir whose session_info.csv holds exactly
+    this session set, or the next free index if none matches."""
+    want = {_session_identity(s) for s in sessions_single}
+    for path in multisession_paths:
+        have = {_session_identity(s)
+                for s in _load_session_infos(os.path.join(path, 'session_info.csv'))}
+        if have == want:
+            return int(path.split('-')[-1])
+    taken = [int(p.split('-')[-1]) for p in multisession_paths]
+    return max(taken) + 1 if taken else 0
+
+
 def get_session_dir(hparams, session_source='save'):
     """Resolve the session-level results directory + list of single sessions.
 
-    Handles 'all' keywords and multisession-xx matching via session_info.csv
-    (reference :135-304).
+    (reference fitting/utils.py:135-304 contract: identical resolution
+    rules — sessions_csv overrides; 'all' keywords expand one hierarchy
+    level; multi-session sets live in ``multisession-%02i`` dirs matched by
+    identity against each dir's session_info.csv, allocating the next free
+    index on a miss; an explicit ``multisession`` hparam selects a dir and
+    reads its membership back.)
     """
     save_dir = hparams['save_dir']
-    if session_source == 'save':
-        sess_dir = hparams['save_dir']
-    elif session_source == 'data':
-        sess_dir = hparams['data_dir']
-    else:
+    if session_source not in ('save', 'data'):
         raise ValueError('"%s" is an invalid session_source' % session_source)
+    enum_root = hparams['%s_dir' % session_source]
 
     if len(hparams.get('sessions_csv', [])) > 0:
-        sessions_single = read_session_info_from_csv(hparams['sessions_csv'])
-        labs, expts, animals, sessions = [], [], [], []
-        for sess in sessions_single:
-            sess.pop('save_dir', None)
-            labs.append(sess['lab'])
-            expts.append(sess['expt'])
-            animals.append(sess['animal'])
-            sessions.append(sess['session'])
-        labs, expts, animals, sessions = map(np.array, (labs, expts, animals, sessions))
-        lab, expt, animal = '', '', ''
-        if len(np.unique(sessions)) == 1:
-            lab, expt, animal, session = labs[0], expts[0], animals[0], sessions[0]
-            session_dir_base = os.path.join(save_dir, lab, expt, animal, session)
-        elif len(np.unique(animals)) == 1:
-            lab, expt, animal = labs[0], expts[0], animals[0]
-            session_dir_base = os.path.join(save_dir, lab, expt, animal)
-        elif len(np.unique(expts)) == 1:
-            lab, expt = labs[0], expts[0]
-            session_dir_base = os.path.join(save_dir, lab, expt)
-        elif len(np.unique(labs)) == 1:
-            lab = labs[0]
-            session_dir_base = os.path.join(save_dir, lab)
-        else:
+        # explicit membership list: base dir = deepest level on which every
+        # listed session agrees, checked most-specific first
+        sessions_single = _load_session_infos(hparams['sessions_csv'])
+        for depth in (4, 3, 2, 1, 0):
+            if depth == 0:
+                raise NotImplementedError('multiple labs not currently supported')
+            level = _SESSION_HIERARCHY[depth - 1]
+            if len({s[level] for s in sessions_single}) == 1:
+                break
+        shared = [sessions_single[0][lvl] for lvl in _SESSION_HIERARCHY[:depth]]
+        session_dir_base = os.path.join(save_dir, *shared)
+        scope = dict(zip(('lab', 'expt', 'animal'), shared[:3]))
+        multisession_paths = _get_multisession_paths(save_dir, **scope)
+    elif 'all' in [hparams[lvl] for lvl in _SESSION_HIERARCHY]:
+        # 'all' keyword: enumerate every session below the fixed prefix
+        if hparams['lab'] == 'all':
             raise NotImplementedError('multiple labs not currently supported')
-        multisession_paths = _get_multisession_paths(save_dir, lab=lab, expt=expt, animal=animal)
+        n_fixed = [hparams[lvl] for lvl in _SESSION_HIERARCHY].index('all')
+        prefix = [hparams[lvl] for lvl in _SESSION_HIERARCHY[:n_fixed]]
+        session_dir_base = os.path.join(save_dir, *prefix)
+        sessions_single = _get_single_sessions(
+            os.path.join(enum_root, *prefix), depth=4 - n_fixed, curr_depth=0)
+        multisession_paths = _get_multisession_paths(
+            save_dir, **dict(zip(('lab', 'expt', 'animal'), prefix)))
     else:
-        lab = hparams['lab']
-        if lab == 'all':
-            raise NotImplementedError('multiple labs not currently supported')
-        elif hparams['expt'] == 'all':
-            multisession_paths = _get_multisession_paths(save_dir, lab=lab)
-            sessions_single = _get_single_sessions(
-                os.path.join(sess_dir, lab), depth=3, curr_depth=0)
-            session_dir_base = os.path.join(save_dir, lab)
-        elif hparams['animal'] == 'all':
-            expt = hparams['expt']
-            multisession_paths = _get_multisession_paths(save_dir, lab=lab, expt=expt)
-            sessions_single = _get_single_sessions(
-                os.path.join(sess_dir, lab, expt), depth=2, curr_depth=0)
-            session_dir_base = os.path.join(save_dir, lab, expt)
-        elif hparams['session'] == 'all':
-            expt = hparams['expt']
-            animal = hparams['animal']
-            multisession_paths = _get_multisession_paths(
-                save_dir, lab=lab, expt=expt, animal=animal)
-            sessions_single = _get_single_sessions(
-                os.path.join(sess_dir, lab, expt, animal), depth=1, curr_depth=0)
-            session_dir_base = os.path.join(save_dir, lab, expt, animal)
-        else:
-            multisession_paths = []
-            sessions_single = [{
-                'lab': hparams['lab'], 'expt': hparams['expt'], 'animal': hparams['animal'],
-                'session': hparams['session']}]
-            session_dir_base = os.path.join(
-                save_dir, hparams['lab'], hparams['expt'], hparams['animal'],
-                hparams['session'])
+        # one fully specified session
+        sessions_single = [{lvl: hparams[lvl] for lvl in _SESSION_HIERARCHY}]
+        session_dir_base = os.path.join(
+            save_dir, *(hparams[lvl] for lvl in _SESSION_HIERARCHY))
+        multisession_paths = []
 
     if hparams.get('multisession', None) is not None and \
             len(hparams.get('sessions_csv', [])) == 0:
         session_dir = os.path.join(
             session_dir_base, 'multisession-%02i' % hparams['multisession'])
-        sessions_single = read_session_info_from_csv(
+        sessions_single = _load_session_infos(
             os.path.join(session_dir, 'session_info.csv'))
-        for sess in sessions_single:
-            sess.pop('save_dir', None)
     elif len(sessions_single) > 1:
-        found_match = False
-        multi_idx = None
-        for session_multi in multisession_paths:
-            csv_file = os.path.join(session_multi, 'session_info.csv')
-            sessions_multi = read_session_info_from_csv(csv_file)
-            for d in sessions_multi:
-                d.pop('save_dir', None)
-            set_l1 = set(tuple(sorted(d.items())) for d in sessions_single)
-            set_l2 = set(tuple(sorted(d.items())) for d in sessions_multi)
-            if len(set_l1.symmetric_difference(set_l2)) == 0:
-                found_match = True
-                multi_idx = int(session_multi.split('-')[-1])
-                break
-        if not found_match:
-            multi_idxs = [int(p.split('-')[-1]) for p in multisession_paths]
-            multi_idx = (max(multi_idxs) + 1) if multi_idxs else 0
+        multi_idx = _match_or_allocate_multisession(multisession_paths, sessions_single)
         session_dir = os.path.join(session_dir_base, 'multisession-%02i' % multi_idx)
     else:
         session_dir = session_dir_base

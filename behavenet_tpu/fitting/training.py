@@ -39,69 +39,68 @@ def print_epoch(curr, total):
 
 
 class Logger(object):
-    """Accumulate per-batch metric dicts, aggregate and per-dataset (reference :16)."""
+    """Per-epoch metric accumulation feeding metrics.csv rows.
+
+    Metric dicts arrive straight from the jitted steps as device scalars and
+    are appended as-is — no per-batch host transfer, no per-batch device
+    dispatch. Everything is pulled back in one batched ``np.asarray`` sweep
+    only when a csv row is written, so the train loop stays asynchronous
+    between logging points.
+
+    (reference behavenet/fitting/training.py:16-170 contract: rows carry
+    ``tr_``/``val_``/``test_``-prefixed per-key means plus epoch / batch /
+    trial / dataset columns, ``best_val_epoch`` on val rows, dataset=-1 for
+    aggregate rows; the accumulation mechanics here are original.)
+    """
+
+    _PREFIX = {'train': 'tr', 'val': 'val', 'test': 'test'}
 
     def __init__(self, n_datasets=1):
-        self.metrics = {}
         self.n_datasets = n_datasets
-        dtype_strs = ['train', 'val', 'test', 'curr']
-        for dtype in dtype_strs:
-            self.metrics[dtype] = {}
-        self.metrics_by_dataset = []
-        if self.n_datasets > 1:
-            for dataset in range(self.n_datasets):
-                self.metrics_by_dataset.append({})
-                for dtype in dtype_strs:
-                    self.metrics_by_dataset[dataset][dtype] = {}
+        self._entries = {dtype: [] for dtype in self._PREFIX}
 
     def reset_metrics(self, dtype):
-        for key in self.metrics[dtype].keys():
-            self.metrics[dtype][key] = 0
-        for m in self.metrics_by_dataset:
-            for key in m[dtype].keys():
-                m[dtype][key] = 0
+        self._entries[dtype] = []
 
     def update_metrics(self, dtype, loss_dict, dataset=None):
-        metrics = {**loss_dict, 'batches': 1}
-        for key, val in metrics.items():
-            if key not in self.metrics[dtype]:
-                self.metrics[dtype][key] = 0
-            self.metrics[dtype][key] += val
-            if isinstance(dataset, int) and self.n_datasets > 1:
-                if key not in self.metrics_by_dataset[dataset][dtype]:
-                    self.metrics_by_dataset[dataset][dtype][key] = 0
-                self.metrics_by_dataset[dataset][dtype][key] += val
+        self._entries[dtype].append((dataset, dict(loss_dict)))
+
+    def _means(self, dtype, dataset=None):
+        """Key-wise means over accumulated entries (one host sweep)."""
+        picked = [m for d, m in self._entries[dtype]
+                  if dataset is None or d == dataset]
+        out = {}
+        for key in {k for m in picked for k in m}:
+            vals = [np.asarray(m[key]) for m in picked if key in m]
+            out[key] = float(np.mean(vals))
+        return out
 
     def create_metric_row(self, dtype, epoch, batch, dataset, trial, best_epoch=None,
                           by_dataset=False):
-        prefix = {'train': 'tr', 'val': 'val', 'test': 'test'}.get(dtype)
-        if prefix is None:
+        if dtype not in self._PREFIX:
             raise ValueError('%s is an invalid data type' % dtype)
-        metric_row = {'epoch': epoch, 'batch': batch, 'trial': trial}
+        prefix = self._PREFIX[dtype]
+        row = {'epoch': epoch, 'batch': batch, 'trial': trial}
         if dtype == 'val':
-            metric_row['best_val_epoch'] = best_epoch
-        if by_dataset and self.n_datasets > 1:
-            norm = self.metrics_by_dataset[dataset][dtype]['batches']
-            for key, val in self.metrics_by_dataset[dataset][dtype].items():
-                if key == 'batches':
-                    continue
-                metric_row['%s_%s' % (prefix, key)] = float(val) / norm
-        else:
-            dataset = -1
-            norm = self.metrics[dtype]['batches']
-            for key, val in self.metrics[dtype].items():
-                if key == 'batches':
-                    continue
-                metric_row['%s_%s' % (prefix, key)] = float(val) / norm
-        metric_row['dataset'] = dataset
-        return metric_row
+            row['best_val_epoch'] = best_epoch
+        restrict = dataset if (by_dataset and self.n_datasets > 1) else None
+        row['dataset'] = dataset if restrict is not None else -1
+        for key, val in self._means(dtype, dataset=restrict).items():
+            row['%s_%s' % (prefix, key)] = val
+        return row
 
     def get_loss(self, dtype):
-        return float(self.metrics[dtype]['loss']) / self.metrics[dtype]['batches']
+        return float(np.mean([np.asarray(m['loss'])
+                              for _, m in self._entries[dtype]]))
 
 
 class EarlyStopping(object):
-    """Patience-based early stopping on best validation loss (reference :173)."""
+    """Patience on the best validation loss, with a minimum-epoch floor.
+
+    (reference behavenet/fitting/training.py:173-242 contract: stop only
+    after ``min_epochs``, after ``patience`` consecutive non-improving val
+    checks; ``delta`` is the required improvement margin.)
+    """
 
     def __init__(self, patience=10, min_epochs=10, delta=0):
         self.patience = patience
@@ -121,13 +120,11 @@ class EarlyStopping(object):
         else:
             self.counter += 1
         if epoch > self.min_epochs and self.counter >= self.patience:
-            print('\n== early stopping criteria met; exiting train loop ==')
-            print('training epochs: %d' % epoch)
-            print('end cost: %04f' % curr_loss)
-            print('best epoch: %i' % self.best_epoch)
-            print('best cost: %04f\n' % self.best_loss)
             self.stopped_epoch = epoch
             self.should_stop = True
+            print('early stop at epoch %i: no val improvement for %i checks '
+                  '(best %.6f @ epoch %i, current %.6f)'
+                  % (epoch, self.counter, self.best_loss, self.best_epoch, curr_loss))
 
 
 def _prepare_batch(sample, model_class, hparams):

@@ -68,6 +68,13 @@ class BayesianDecoder:
         self.n = self.D * self.lags          # augmented state dim
         self.state_evidence_weight = float(state_evidence_weight)
         self.R = None if obs_noise is None else jnp.asarray(obs_noise, dtype=jnp.float32)
+        self._jit_cache = {}
+
+    def _jitted(self, key, fn):
+        """Per-instance jit cache: decode stages compile once per shape."""
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
 
     # ------------------------------------------------------------- setup
     def estimate_obs_noise(self, ae_latents, ae_predictions):
@@ -179,6 +186,12 @@ class BayesianDecoder:
         -------
         dict with 'latents' (T, D), 'latents_cov' (T, D, D), 'states'
         (T,), 'states_posterior' (T, K)
+
+        Notes
+        -----
+        Decode stages jit-compile once per trial shape with the current
+        ARHMM parameters baked in; build a fresh BayesianDecoder after
+        refitting the ARHMM.
         """
         if self.R is None:
             raise RuntimeError('call estimate_obs_noise() or pass obs_noise first')
@@ -186,27 +199,45 @@ class BayesianDecoder:
         obs_mask = (~np.any(np.isnan(y), axis=1)).astype(np.float32)
         y = np.nan_to_num(y)
 
-        ll = self._discrete_loglik(jnp.where(jnp.asarray(obs_mask[:, None]) > 0,
-                                             jnp.asarray(y), 0.0),
-                                   arhmm_predictions)
-        # zero continuous evidence at masked rows
-        ll = ll * jnp.asarray(obs_mask)[:, None]
-        log_P = jax.nn.log_softmax(self.arhmm.params['log_Ps'], axis=1)
-        gamma, _, _ = hmm_ops.forward_backward(
-            self.arhmm.params['log_pi0'], log_P, ll)
-        states = hmm_ops.viterbi(self.arhmm.params['log_pi0'], log_P, ll)
+        # discrete pass: parallel-prefix message passing when either the
+        # decode or the underlying ARHMM asks for it (long trials)
+        par_scan = bool(parallel or self.arhmm.parallel_scan)
+
+        def discrete(y_d, m_d, q_d):
+            ll = self._discrete_loglik(
+                jnp.where(m_d[:, None] > 0, y_d, 0.0), q_d)
+            ll = ll * m_d[:, None]
+            log_P = jax.nn.log_softmax(self.arhmm.params['log_Ps'], axis=1)
+            gamma, _, _ = hmm_ops.forward_backward(
+                self.arhmm.params['log_pi0'], log_P, ll, parallel=par_scan)
+            vit = hmm_ops.viterbi_parallel if par_scan else hmm_ops.viterbi
+            states = vit(self.arhmm.params['log_pi0'], log_P, ll)
+            return gamma, states
 
         y = jnp.asarray(y)
         obs_mask = jnp.asarray(obs_mask)
-        if parallel:
-            mus_s, Sigmas_s = self._soft_kalman_parallel(y, obs_mask, gamma, smooth)
+        q = None if arhmm_predictions is None else jnp.asarray(arhmm_predictions)
+        if q is None:
+            gamma, states = self._jitted(
+            ('discrete-noq', par_scan, y.shape),
+            lambda y_d, m_d: discrete(y_d, m_d, None))(y, obs_mask)
         else:
-            mus_f, Sigmas_f, mus_p, Sigmas_p = self._kalman_filter(y, obs_mask, gamma)
-            if smooth:
-                mus_s, Sigmas_s = self._rts_smoother(
-                    mus_f, Sigmas_f, mus_p, Sigmas_p, gamma)
-            else:
-                mus_s, Sigmas_s = mus_f, Sigmas_f
+            gamma, states = self._jitted(
+                ('discrete', par_scan, y.shape), discrete)(y, obs_mask, q)
+
+        if parallel:
+            mus_s, Sigmas_s = self._jitted(
+                ('soft-parallel', smooth, y.shape),
+                lambda y_d, m_d, g_d: self._soft_kalman_parallel(
+                    y_d, m_d, g_d, smooth))(y, obs_mask, gamma)
+        else:
+            def imm(y_d, m_d, g_d):
+                mus_f, Sigmas_f, mus_p, Sigmas_p = self._kalman_filter(y_d, m_d, g_d)
+                if smooth:
+                    return self._rts_smoother(mus_f, Sigmas_f, mus_p, Sigmas_p, g_d)
+                return mus_f, Sigmas_f
+            mus_s, Sigmas_s = self._jitted(
+                ('imm', smooth, y.shape), imm)(y, obs_mask, gamma)
 
         D = self.D
         return {

@@ -267,87 +267,116 @@ def _interp_frame(interp_type, model, params, ims_0, latents, labels_0, labels_2
     return _recon(model, params, ims_0, labels=latents, labels_2d=labels_2d)
 
 
+def _make_one_hot_2d(interp_type, ims_0):
+    if interp_type != 'labels' or ims_0 is None:
+        return None
+    from behavenet_tpu.data.transforms import MakeOneHot2D
+    _, _, y_pix, x_pix = _nchw(ims_0).shape
+    return MakeOneHot2D(y_pix, x_pix)
+
+
+def _traversal_grid(interp_type, mins, maxes, mins_sc, maxes_sc, input_idxs, n_frames):
+    """Per-dim linspace values in latent/label space and scaled-label space."""
+    vals = {d: np.linspace(mins[d], maxes[d], n_frames) for d in input_idxs}
+    if mins_sc is not None and maxes_sc is not None:
+        vals_sc = {d: np.linspace(mins_sc[d], maxes_sc[d], n_frames) for d in input_idxs}
+    elif interp_type == 'labels':
+        raise NotImplementedError
+    else:
+        vals_sc = None
+    return vals, vals_sc
+
+
+def _traversal_cell(interp_type, model, params, ims_0, latents_0, labels_0,
+                    labels_sc_0, one_hot_2d, assign, assign_sc):
+    """Reconstruct one traversal cell.
+
+    ``assign``: {dim: value} applied to the interpolated vector (latents for
+    'latents' interpolation and for models whose labels live in the latent
+    space, labels otherwise); ``assign_sc``: same in scaled-label units for
+    the marker overlay / one-hot conditional-encoder map.
+
+    Returns (im (N,C,H,W), labels_sc).
+    """
+    def _with(vec_0, updates):
+        vec = np.copy(vec_0)
+        for d, v in updates.items():
+            vec[0, d] = v
+        return vec
+
+    if interp_type == 'latents':
+        labels_sc = _get_updated_scaled_labels(labels_sc_0)
+        im = _interp_frame('latents', model, params, ims_0,
+                           _with(latents_0, assign), labels_0, None)
+        return im, labels_sc
+
+    labels_sc = _get_updated_scaled_labels(
+        labels_sc_0, list(assign_sc.keys()), list(assign_sc.values()))
+    labels_2d = None
+    if labels_sc_0 is not None and np.asarray(labels_sc_0).ndim == 4:
+        labels_2d = np.transpose(one_hot_2d(labels_sc), (0, 2, 3, 1))
+    in_latent_space = model.hparams['model_class'] in (
+        'cond-ae-msp', 'ps-vae', 'msps-vae')
+    vec = _with(latents_0 if in_latent_space else labels_0, assign)
+    im = _interp_frame('labels', model, params, ims_0, vec, labels_0, labels_2d)
+    return im, labels_sc
+
+
+def _crop_offsets(crop_type, crop_kwargs):
+    if not crop_type:
+        return 0, 0
+    return (crop_kwargs['y_0'] - crop_kwargs['y_ext'],
+            crop_kwargs['x_0'] - crop_kwargs['x_ext'])
+
+
 def interpolate_2d(interp_type, model, params, ims_0, latents_0, labels_0, labels_sc_0,
                    mins, maxes, input_idxs, n_frames, crop_type=None, mins_sc=None,
                    maxes_sc=None, crop_kwargs=None, marker_idxs=None, ch=0):
-    """2-D grid of reconstructions interpolating two latent/label dims (reference :346-540).
+    """2-D grid of reconstructions interpolating two latent/label dims.
 
-    Returns (ims_list, labels_list, ims_crop_list) — lists of lists.
+    (reference cond_ae_utils.py:346-540 contract: returns
+    (ims_list, labels_list, ims_crop_list) as n_frames x n_frames lists of
+    lists; marker coordinates come from the interpolated dims for 'labels'
+    traversals and from ``marker_idxs`` for 'latents' traversals, shifted by
+    the crop origin. The cell reconstruction is shared with
+    :func:`interpolate_1d` via :func:`_traversal_cell`.)
     """
-    if interp_type == 'labels':
-        from behavenet_tpu.data.transforms import MakeOneHot2D
-        _, _, y_pix, x_pix = _nchw(ims_0).shape if ims_0 is not None else (0, 0, 0, 0)
-        one_hot_2d = MakeOneHot2D(y_pix, x_pix) if ims_0 is not None else None
-
     assert len(input_idxs) == 2
-
-    inputs, inputs_sc = [], []
-    for d in input_idxs:
-        inputs.append(np.linspace(mins[d], maxes[d], n_frames))
-        if mins_sc is not None and maxes_sc is not None:
-            inputs_sc.append(np.linspace(mins_sc[d], maxes_sc[d], n_frames))
-        elif interp_type == 'labels':
-            raise NotImplementedError
+    one_hot_2d = _make_one_hot_2d(interp_type, ims_0)
+    vals, vals_sc = _traversal_grid(
+        interp_type, mins, maxes, mins_sc, maxes_sc, input_idxs, n_frames)
+    y_min, x_min = _crop_offsets(crop_type, crop_kwargs)
+    d0, d1 = input_idxs
 
     ims_list, ims_crop_list, labels_list = [], [], []
     for i0 in range(n_frames):
-        ims_tmp, ims_crop_tmp, labels_tmp = [], [], []
+        row_ims, row_crops, row_markers = [], [], []
         for i1 in range(n_frames):
-            if interp_type == 'latents':
-                latents = np.copy(latents_0)
-                latents[0, input_idxs[0]] = inputs[0][i0]
-                latents[0, input_idxs[1]] = inputs[1][i1]
-                labels_sc = _get_updated_scaled_labels(labels_sc_0)
-                im_tmp = _interp_frame(
-                    'latents', model, params, ims_0, latents, labels_0, None)
-            else:
-                labels_sc = _get_updated_scaled_labels(
-                    labels_sc_0, input_idxs, [inputs_sc[0][i0], inputs_sc[1][i1]])
-                labels_2d = None
-                if labels_sc_0 is not None and len(np.asarray(labels_sc_0).shape) == 4:
-                    labels_2d = np.transpose(one_hot_2d(labels_sc), (0, 2, 3, 1))
-                if model.hparams['model_class'] in ('cond-ae-msp', 'ps-vae', 'msps-vae'):
-                    latents = np.copy(latents_0)
-                    latents[0, input_idxs[0]] = inputs[0][i0]
-                    latents[0, input_idxs[1]] = inputs[1][i1]
-                    im_tmp = _interp_frame(
-                        'labels', model, params, ims_0, latents, labels_0, labels_2d)
-                else:
-                    labels = np.copy(labels_0)
-                    labels[0, input_idxs[0]] = inputs[0][i0]
-                    labels[0, input_idxs[1]] = inputs[1][i1]
-                    im_tmp = _interp_frame(
-                        'labels', model, params, ims_0, labels, labels_0, labels_2d)
-
-            ims_tmp.append(np.copy(im_tmp[0, ch]))
-
-            if crop_type:
-                x_min_tmp = crop_kwargs['x_0'] - crop_kwargs['x_ext']
-                y_min_tmp = crop_kwargs['y_0'] - crop_kwargs['y_ext']
-            else:
-                x_min_tmp, y_min_tmp = 0, 0
-
+            assign = {d0: vals[d0][i0], d1: vals[d1][i1]}
+            assign_sc = None if vals_sc is None else \
+                {d0: vals_sc[d0][i0], d1: vals_sc[d1][i1]}
+            im, labels_sc = _traversal_cell(
+                interp_type, model, params, ims_0, latents_0, labels_0,
+                labels_sc_0, one_hot_2d, assign, assign_sc)
+            row_ims.append(np.copy(im[0, ch]))
             if interp_type == 'labels':
-                labels_tmp.append([
-                    np.copy(labels_sc[0, input_idxs[0]]) - y_min_tmp,
-                    np.copy(labels_sc[0, input_idxs[1]]) - x_min_tmp])
-            elif interp_type == 'latents' and labels_sc_0 is not None:
-                labels_tmp.append([
-                    np.copy(labels_sc[0, marker_idxs[0]]) - y_min_tmp,
-                    np.copy(labels_sc[0, marker_idxs[1]]) - x_min_tmp])
+                marker_dims = (d0, d1)
+            elif labels_sc_0 is not None:
+                marker_dims = (marker_idxs[0], marker_idxs[1])
             else:
-                labels_tmp.append([np.nan, np.nan])
-
-            if crop_type:
-                ims_crop_tmp.append(get_crop(
-                    im_tmp[0, 0], crop_kwargs['y_0'], crop_kwargs['y_ext'],
-                    crop_kwargs['x_0'], crop_kwargs['x_ext']))
+                marker_dims = None
+            if marker_dims is None:
+                row_markers.append([np.nan, np.nan])
             else:
-                ims_crop_tmp.append([])
-
-        ims_list.append(ims_tmp)
-        ims_crop_list.append(ims_crop_tmp)
-        labels_list.append(labels_tmp)
+                row_markers.append([
+                    np.copy(labels_sc[0, marker_dims[0]]) - y_min,
+                    np.copy(labels_sc[0, marker_dims[1]]) - x_min])
+            row_crops.append(get_crop(
+                im[0, 0], crop_kwargs['y_0'], crop_kwargs['y_ext'],
+                crop_kwargs['x_0'], crop_kwargs['x_ext']) if crop_type else [])
+        ims_list.append(row_ims)
+        ims_crop_list.append(row_crops)
+        labels_list.append(row_markers)
 
     return ims_list, labels_list, ims_crop_list
 
@@ -355,69 +384,38 @@ def interpolate_2d(interp_type, model, params, ims_0, latents_0, labels_0, label
 def interpolate_1d(interp_type, model, params, ims_0, latents_0, labels_0, labels_sc_0,
                    mins, maxes, input_idxs, n_frames, crop_type=None, mins_sc=None,
                    maxes_sc=None, crop_kwargs=None, marker_idxs=None, ch=0):
-    """Per-dim 1-D traversals (one row per input idx) (reference :543-730)."""
-    if interp_type == 'labels':
-        from behavenet_tpu.data.transforms import MakeOneHot2D
-        _, _, y_pix, x_pix = _nchw(ims_0).shape if ims_0 is not None else (0, 0, 0, 0)
-        one_hot_2d = MakeOneHot2D(y_pix, x_pix) if ims_0 is not None else None
+    """Per-dim 1-D traversals, one row per entry of ``input_idxs``.
 
-    inputs, inputs_sc = [], []
-    for d in input_idxs:
-        inputs.append(np.linspace(mins[d], maxes[d], n_frames))
-        if mins_sc is not None and maxes_sc is not None:
-            inputs_sc.append(np.linspace(mins_sc[d], maxes_sc[d], n_frames))
-        elif interp_type == 'labels':
-            raise NotImplementedError
+    (reference cond_ae_utils.py:543-730 contract: same return format as
+    :func:`interpolate_2d`; markers always come from ``marker_idxs`` here.)
+    """
+    one_hot_2d = _make_one_hot_2d(interp_type, ims_0)
+    vals, vals_sc = _traversal_grid(
+        interp_type, mins, maxes, mins_sc, maxes_sc, input_idxs, n_frames)
+    y_min, x_min = _crop_offsets(crop_type, crop_kwargs)
 
     ims_list, ims_crop_list, labels_list = [], [], []
-    for d_idx, d in enumerate(input_idxs):
-        ims_tmp, ims_crop_tmp, labels_tmp = [], [], []
+    for d in input_idxs:
+        row_ims, row_crops, row_markers = [], [], []
         for i0 in range(n_frames):
-            if interp_type == 'latents':
-                latents = np.copy(latents_0)
-                latents[0, d] = inputs[d_idx][i0]
-                labels_sc = _get_updated_scaled_labels(labels_sc_0)
-                im_tmp = _interp_frame(
-                    'latents', model, params, ims_0, latents, labels_0, None)
-            else:
-                labels_sc = _get_updated_scaled_labels(
-                    labels_sc_0, d, float(inputs_sc[d_idx][i0]))
-                labels_2d = None
-                if labels_sc_0 is not None and len(np.asarray(labels_sc_0).shape) == 4:
-                    labels_2d = np.transpose(one_hot_2d(labels_sc), (0, 2, 3, 1))
-                if model.hparams['model_class'] in ('cond-ae-msp', 'ps-vae', 'msps-vae'):
-                    latents = np.copy(latents_0)
-                    latents[0, d] = inputs[d_idx][i0]
-                    im_tmp = _interp_frame(
-                        'labels', model, params, ims_0, latents, labels_0, labels_2d)
-                else:
-                    labels = np.copy(labels_0)
-                    labels[0, d] = inputs[d_idx][i0]
-                    im_tmp = _interp_frame(
-                        'labels', model, params, ims_0, labels, labels_0, labels_2d)
-
-            ims_tmp.append(np.copy(im_tmp[0, ch]))
-
-            if crop_type:
-                x_min_tmp = crop_kwargs['x_0'] - crop_kwargs['x_ext']
-                y_min_tmp = crop_kwargs['y_0'] - crop_kwargs['y_ext']
-                ims_crop_tmp.append(get_crop(
-                    im_tmp[0, 0], crop_kwargs['y_0'], crop_kwargs['y_ext'],
-                    crop_kwargs['x_0'], crop_kwargs['x_ext']))
-            else:
-                x_min_tmp, y_min_tmp = 0, 0
-                ims_crop_tmp.append([])
-
+            assign = {d: vals[d][i0]}
+            assign_sc = None if vals_sc is None else {d: float(vals_sc[d][i0])}
+            im, labels_sc = _traversal_cell(
+                interp_type, model, params, ims_0, latents_0, labels_0,
+                labels_sc_0, one_hot_2d, assign, assign_sc)
+            row_ims.append(np.copy(im[0, ch]))
+            row_crops.append(get_crop(
+                im[0, 0], crop_kwargs['y_0'], crop_kwargs['y_ext'],
+                crop_kwargs['x_0'], crop_kwargs['x_ext']) if crop_type else [])
             if labels_sc is not None and marker_idxs is not None:
-                labels_tmp.append([
-                    np.copy(labels_sc[0, marker_idxs[0]]) - y_min_tmp,
-                    np.copy(labels_sc[0, marker_idxs[1]]) - x_min_tmp])
+                row_markers.append([
+                    np.copy(labels_sc[0, marker_idxs[0]]) - y_min,
+                    np.copy(labels_sc[0, marker_idxs[1]]) - x_min])
             else:
-                labels_tmp.append([np.nan, np.nan])
-
-        ims_list.append(ims_tmp)
-        ims_crop_list.append(ims_crop_tmp)
-        labels_list.append(labels_tmp)
+                row_markers.append([np.nan, np.nan])
+        ims_list.append(row_ims)
+        ims_crop_list.append(row_crops)
+        labels_list.append(row_markers)
 
     return ims_list, labels_list, ims_crop_list
 

