@@ -132,8 +132,11 @@ class BayesianDecoder:
     def _discrete_loglik(self, ae_predictions, arhmm_predictions):
         terms = []
         if arhmm_predictions is not None:
-            q = jnp.clip(jnp.asarray(arhmm_predictions, dtype=jnp.float32), 1e-6)
-            terms.append(self.state_evidence_weight * jnp.log(q))
+            q = jnp.asarray(arhmm_predictions, dtype=jnp.float32)
+            # NaN rows (lag-trimmed borders of prediction exports) carry no
+            # evidence: log 1 = 0
+            q = jnp.where(jnp.isnan(q), 1.0, q)
+            terms.append(self.state_evidence_weight * jnp.log(jnp.clip(q, 1e-6)))
         if ae_predictions is not None:
             # continuous evidence enters the discrete chain through the
             # per-state one-step predictive likelihood of y_t under

@@ -51,6 +51,9 @@ MODELS_TO_FIT = [
     {'model_class': 'neural-ae-me', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-labels', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-arhmm', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
+    # fuses the ae/arhmm/neural-ae/neural-arhmm artifacts fit above
+    {'model_class': 'bayesian-decoding', 'model_file': 'bayesian_decoder',
+     'sessions': SESSIONS[0]},
     {'model_class': 'ae', 'model_file': 'ae', 'sessions': 'all'},
     {'model_class': 'vae', 'model_file': 'ae', 'sessions': SESSIONS[0]},
     {'model_class': 'beta-tcvae', 'model_file': 'ae', 'sessions': SESSIONS[0]},
@@ -113,6 +116,13 @@ def get_model_config_files(model, json_dir):
             'model': os.path.join(model_json_dir, '%s_%s_model.json' % (m, s)),
             'training': os.path.join(model_json_dir, '%s_training.json' % m),
             'compute': os.path.join(model_json_dir, '%s_compute.json' % m)}
+    elif model == 'bayesian-decoding':
+        model_json_dir = os.path.join(json_dir, 'bayesian_jsons')
+        return {
+            'data': os.path.join(model_json_dir, 'bayesian_data.json'),
+            'model': os.path.join(model_json_dir, 'bayesian_model.json'),
+            'training': os.path.join(model_json_dir, 'bayesian_training.json'),
+            'compute': os.path.join(model_json_dir, 'bayesian_compute.json')}
     raise NotImplementedError
 
 
@@ -196,6 +206,27 @@ def define_new_config_values(model, session='sess-0', device='cpu'):
                       'model_type': 'mlp', 'n_hid_layers': 1, 'n_hid_units': [8, 16],
                       'activation': 'relu'},
             'training': training_dict, 'compute': compute_dict}
+    if model == 'bayesian-decoding':
+        return {
+            'data': data_dict,
+            'model': {'model_class': model,
+                      'ae_experiment_name': ae_expt_name,
+                      'ae_model_class': ae_model_class,
+                      'ae_model_type': ae_model_type, 'ae_version': 'best',
+                      'n_ae_latents': n_ae_latents,
+                      'arhmm_experiment_name': arhmm_expt_name,
+                      'n_arhmm_states': n_arhmm_states[0],
+                      'n_arhmm_lags': n_arhmm_lags, 'kappa': 0.0,
+                      'transitions': 'stationary', 'noise_type': 'gaussian',
+                      'arhmm_version': 'best',
+                      'neural_ae_experiment_name': 'grid_search',
+                      'neural_ae_model_type': 'mlp', 'neural_ae_version': 'best',
+                      'neural_arhmm_experiment_name': 'grid_search',
+                      'neural_arhmm_model_type': 'mlp',
+                      'neural_arhmm_version': 'best'},
+            'training': {'export_latents': True, 'export_states': True,
+                         'train_frac': train_frac, 'trial_splits': trial_splits},
+            'compute': compute_dict}
     if model == 'labels-images':
         return {
             'data': data_dict,
