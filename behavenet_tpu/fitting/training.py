@@ -251,13 +251,22 @@ def _bucket_batch(batch, bucket):
 def _collate(data, dataset, model_class, hparams):
     """Turn generator output into (batch, dataset_idx, seg_lens, trial_idx)."""
     if isinstance(data, list):
-        # multi-session batch (MSPS-VAE): dataset-major concatenation; served
-        # exact-shape (triplet chunking needs static per-segment lengths)
-        seg_lens = tuple(int(d['images'].shape[0]) for d in data)
-        batch = {}
-        for key in ('images', 'labels', 'masks', 'labels_masks'):
-            if key in data[0]:
-                batch[key] = np.concatenate([d[key] for d in data], axis=0)
+        # multi-session batch (MSPS-VAE): dataset-major concatenation of
+        # per-session segments. Each segment buckets independently (padded
+        # seg_lens stay static per bucket combination; frame masks drop the
+        # pad rows out of every loss term including the triplets)
+        bucket = hparams.get('shape_bucket', 32)
+        parts = []
+        for d in data:
+            part = {k: np.asarray(d[k])
+                    for k in ('images', 'labels', 'masks', 'labels_masks')
+                    if k in d}
+            if bucket:
+                part = _bucket_batch(part, int(bucket))
+            parts.append(part)
+        seg_lens = tuple(int(next(iter(p.values())).shape[0]) for p in parts)
+        batch = {k: np.concatenate([p[k] for p in parts], axis=0)
+                 for k in parts[0]}
         trial = int(data[0]['batch_idx'])
         return batch, dataset, seg_lens, trial
     batch = _prepare_batch(data, model_class, hparams)

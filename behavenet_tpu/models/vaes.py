@@ -410,7 +410,7 @@ class MSPSVAE(PSVAE):
 
         if seg_lens is not None:
             loss_triplet = losses.triplet_loss(
-                rng_t, mu[:, n_labels:n_labels + n_bg], seg_lens)
+                rng_t, mu[:, n_labels:n_labels + n_bg], seg_lens, seg_mask=fm)
             loss = loss + delta * loss_triplet
         else:
             loss_triplet = jnp.float32(0.0)

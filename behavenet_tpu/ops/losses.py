@@ -194,14 +194,46 @@ def _pdist(a, b, eps=1e-6):
     return jnp.sqrt(jnp.sum((a - b + eps) ** 2, axis=1))
 
 
-def _triplet_margin(anchor, positive, negative, margin=1.0):
-    """torch TripletMarginLoss with p=2, mean reduction."""
+def _weighted_mean(vals, w):
+    if w is None:
+        return jnp.mean(vals)
+    return jnp.sum(vals * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _triplet_margin(anchor, positive, negative, margin=1.0, w=None):
+    """torch TripletMarginLoss with p=2, mean reduction (optionally weighted)."""
     d_ap = _pdist(anchor, positive)
     d_an = _pdist(anchor, negative)
-    return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
+    return _weighted_mean(jnp.maximum(d_ap - d_an + margin, 0.0), w)
 
 
-def triplet_loss(key, z, seg_lens, margin=1.0):
+# chunk-pairing patterns per dataset count (the reference's hand-enumerated
+# triplets, losses.py:402-511, as data):
+# triplets: (anchor_ds, anchor_chunk, positive_chunk, negative_ds, negative_chunk)
+# pulls:    (ds, chunk_i, chunk_j) within-session attraction terms
+_TRIPLET_PATTERNS = {
+    2: {'n_chunks': 3,
+        'triplets': [(0, 0, 1, 1, 2), (1, 0, 1, 0, 2)],
+        'pulls': [(0, 0, 1), (1, 0, 1)],
+        # reference keeps this legacy normalization (losses.py:441)
+        'n_terms': 3},
+    3: {'n_chunks': 6,
+        'triplets': [(0, 0, 1, 1, 4), (0, 2, 3, 2, 4),
+                     (1, 0, 1, 0, 4), (1, 2, 3, 2, 5),
+                     (2, 0, 1, 0, 5), (2, 2, 3, 1, 5)],
+        'pulls': [(ds, 2 * i, 2 * i + 1) for ds in range(3) for i in range(2)],
+        'n_terms': 6},
+    4: {'n_chunks': 9,
+        'triplets': [(0, 0, 1, 1, 6), (0, 2, 3, 2, 6), (0, 4, 5, 3, 6),
+                     (1, 0, 1, 0, 6), (1, 2, 3, 2, 7), (1, 4, 5, 3, 7),
+                     (2, 0, 1, 0, 7), (2, 2, 3, 1, 7), (2, 4, 5, 3, 8),
+                     (3, 0, 1, 0, 8), (3, 2, 3, 1, 8), (3, 4, 5, 2, 8)],
+        'pulls': [(ds, 2 * i, 2 * i + 1) for ds in range(4) for i in range(3)],
+        'n_terms': 12},
+}
+
+
+def triplet_loss(key, z, seg_lens, margin=1.0, seg_mask=None):
     """Triplet loss separating per-session embedding clusters.
 
     TPU-native restructuring of the reference's hand-enumerated chunk
@@ -215,69 +247,53 @@ def triplet_loss(key, z, seg_lens, margin=1.0):
     ----------
     key : jax PRNG key
     z : (sum(seg_lens), d) embeddings, dataset-major
-    seg_lens : tuple of int (static) — rows per dataset segment
+    seg_lens : tuple of int (static) — rows per dataset segment (padded
+        rows included when bucketing)
+    margin : float
+    seg_mask : (sum(seg_lens),) optional 0/1 valid-row mask — a term drops
+        out whenever ANY of its rows is padding, so bucketed batches give
+        an estimate over valid rows only (identical to exact-shape when the
+        mask is all ones)
     """
     n_datasets = len(seg_lens)
-    n_chunks = {2: 3, 3: 6, 4: 9}.get(n_datasets)
-    if n_chunks is None:
+    if n_datasets not in _TRIPLET_PATTERNS:
         raise NotImplementedError('triplet loss supports 2-4 datasets')
+    pat = _TRIPLET_PATTERNS[n_datasets]
+    n_chunks = pat['n_chunks']
     m = min(int(s) // n_chunks for s in seg_lens)
     if m == 0:
         raise ValueError('segments %s too small for %d chunks' % (seg_lens, n_chunks))
 
     keys = jax.random.split(key, n_datasets)
-    chunks = []  # chunks[ds][i] -> (m, d)
+    chunks = []   # chunks[ds][i] -> (m, d)
+    weights = []  # weights[ds][i] -> (m,) or None
     offset = 0
     for ds in range(n_datasets):
         seg = z[offset:offset + int(seg_lens[ds])]
-        offset += int(seg_lens[ds])
         perm = jax.random.permutation(keys[ds], int(seg_lens[ds]))
         seg = seg[perm]
         chunks.append([seg[i::n_chunks][:m] for i in range(n_chunks)])
+        if seg_mask is None:
+            weights.append([None] * n_chunks)
+        else:
+            wseg = seg_mask[offset:offset + int(seg_lens[ds])][perm]
+            weights.append([wseg[i::n_chunks][:m] for i in range(n_chunks)])
+        offset += int(seg_lens[ds])
 
-    a, b = chunks[0], chunks[1]
-    if n_datasets == 2:
-        loss = (
-            _triplet_margin(a[0], a[1], b[2], margin)
-            + _triplet_margin(b[0], b[1], a[2], margin)
-            + jnp.mean(_pdist(a[0], a[1]))
-            + jnp.mean(_pdist(b[0], b[1])))
-        n_terms = 3  # reference keeps this legacy normalization (losses.py:441)
-    elif n_datasets == 3:
-        c = chunks[2]
-        loss = (
-            _triplet_margin(a[0], a[1], b[4], margin)
-            + _triplet_margin(a[2], a[3], c[4], margin)
-            + _triplet_margin(b[0], b[1], a[4], margin)
-            + _triplet_margin(b[2], b[3], c[5], margin)
-            + _triplet_margin(c[0], c[1], a[5], margin)
-            + _triplet_margin(c[2], c[3], b[5], margin)
-            + jnp.mean(_pdist(a[0], a[1])) + jnp.mean(_pdist(a[2], a[3]))
-            + jnp.mean(_pdist(b[0], b[1])) + jnp.mean(_pdist(b[2], b[3]))
-            + jnp.mean(_pdist(c[0], c[1])) + jnp.mean(_pdist(c[2], c[3])))
-        n_terms = 6
-    else:
-        c, d = chunks[2], chunks[3]
-        loss = (
-            _triplet_margin(a[0], a[1], b[6], margin)
-            + _triplet_margin(a[2], a[3], c[6], margin)
-            + _triplet_margin(a[4], a[5], d[6], margin)
-            + _triplet_margin(b[0], b[1], a[6], margin)
-            + _triplet_margin(b[2], b[3], c[7], margin)
-            + _triplet_margin(b[4], b[5], d[7], margin)
-            + _triplet_margin(c[0], c[1], a[7], margin)
-            + _triplet_margin(c[2], c[3], b[7], margin)
-            + _triplet_margin(c[4], c[5], d[8], margin)
-            + _triplet_margin(d[0], d[1], a[8], margin)
-            + _triplet_margin(d[2], d[3], b[8], margin)
-            + _triplet_margin(d[4], d[5], c[8], margin)
-            + jnp.mean(_pdist(a[0], a[1])) + jnp.mean(_pdist(a[2], a[3]))
-            + jnp.mean(_pdist(a[4], a[5]))
-            + jnp.mean(_pdist(b[0], b[1])) + jnp.mean(_pdist(b[2], b[3]))
-            + jnp.mean(_pdist(b[4], b[5]))
-            + jnp.mean(_pdist(c[0], c[1])) + jnp.mean(_pdist(c[2], c[3]))
-            + jnp.mean(_pdist(c[4], c[5]))
-            + jnp.mean(_pdist(d[0], d[1])) + jnp.mean(_pdist(d[2], d[3]))
-            + jnp.mean(_pdist(d[4], d[5])))
-        n_terms = 12
-    return loss / n_terms
+    def _w(*parts):
+        if seg_mask is None:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out * p
+        return out
+
+    loss = jnp.float32(0.0)
+    for a_ds, a_i, p_i, n_ds, n_i in pat['triplets']:
+        loss += _triplet_margin(
+            chunks[a_ds][a_i], chunks[a_ds][p_i], chunks[n_ds][n_i], margin,
+            w=_w(weights[a_ds][a_i], weights[a_ds][p_i], weights[n_ds][n_i]))
+    for ds, i, j in pat['pulls']:
+        loss += _weighted_mean(_pdist(chunks[ds][i], chunks[ds][j]),
+                               _w(weights[ds][i], weights[ds][j]))
+    return loss / pat['n_terms']

@@ -129,6 +129,54 @@ class TestBucketEquivalence:
         assert np.allclose(float(m_exact['loss']), float(m_buck['loss']), atol=1e-4)
         assert np.allclose(float(m_exact['r2']), float(m_buck['r2']), atol=1e-4)
 
+    def test_msps_vae_segment_bucketing_matches_exact(self):
+        """Per-segment bucketed multi-session batches reproduce exact losses."""
+        from behavenet_tpu.models import MSPSVAE
+        from behavenet_tpu.models import arch as arch_mod
+        from behavenet_tpu.fitting.training import _collate
+
+        a = arch_mod.load_handcrafted_arch([1, 32, 24], 10, None, check_memory=False)
+        hp = dict(a, model_class='msps-vae', model_type='conv', n_ae_latents=10,
+                  n_input_channels=1, y_pixels=32, x_pixels=24, rng_seed_model=0,
+                  n_labels=4, n_background=3, n_sessions_per_batch=2,
+                  max_n_epochs=5, shape_bucket=32,
+                  **{'ps_vae.alpha': 1.0, 'ps_vae.beta': 1.0, 'ps_vae.delta': 0.0})
+        model = MSPSVAE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        # pin the sampling noise to ~zero: padded shapes draw different eps
+        params['encoder']['logvar']['w'] = params['encoder']['logvar']['w'] * 0
+        params['encoder']['logvar']['b'] = params['encoder']['logvar']['b'] * 0 - 20.0
+
+        rs = np.random.RandomState(0)
+        data = [{'images': rs.rand(27, 32, 24, 1).astype(np.float32),
+                 'labels': rs.randn(27, 4).astype(np.float32), 'batch_idx': 0},
+                {'images': rs.rand(41, 32, 24, 1).astype(np.float32),
+                 'labels': rs.randn(41, 4).astype(np.float32), 'batch_idx': 0}]
+
+        # exact-shape (bucketing off)
+        hp_exact = dict(hp, shape_bucket=0)
+        b_e, _, lens_e, _ = _collate(list(data), [0, 1], 'msps-vae', hp_exact)
+        assert lens_e == (27, 41) and 'frame_mask' not in b_e
+        _, m_exact = model.loss_fn(
+            params, {k: jnp.asarray(v) for k, v in b_e.items()},
+            jax.random.PRNGKey(1), seg_lens=lens_e, **model.loss_kwargs(0))
+
+        # bucketed: both segments pad to multiples of 32
+        b_b, _, lens_b, _ = _collate(list(data), [0, 1], 'msps-vae', hp)
+        assert lens_b == (32, 64)
+        assert b_b['images'].shape[0] == 96
+        assert b_b['frame_mask'].sum() == 27 + 41
+        _, m_buck = model.loss_fn(
+            params, {k: jnp.asarray(v) for k, v in b_b.items()},
+            jax.random.PRNGKey(1), seg_lens=lens_b, **model.loss_kwargs(0))
+
+        for key in m_exact:
+            if key == 'loss_triplet':
+                continue  # a different (valid-rows-only) random estimate
+            assert np.allclose(float(m_exact[key]), float(m_buck[key]), atol=2e-3), \
+                '%s: %f vs %f' % (key, float(m_exact[key]), float(m_buck[key]))
+        assert np.isfinite(float(m_buck['loss_triplet']))
+
     def test_gaussian_full_dp_sharded_matches_single(self):
         """Bucketed gaussian-full batches shard over the mesh (not replicated)."""
         from jax.sharding import Mesh

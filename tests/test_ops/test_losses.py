@@ -127,3 +127,40 @@ class TestTripletLoss:
         z = jnp.concatenate([z0, z1], axis=0)
         val = np.asarray(losses.triplet_loss(key, z, (seg, seg)))
         assert val < 1e-3
+
+    def test_all_ones_mask_matches_unmasked(self):
+        rng = np.random.RandomState(7)
+        key = jax.random.PRNGKey(2)
+        for n_datasets in (2, 3, 4):
+            seg = 27
+            z = jnp.array(rng.randn(n_datasets * seg, 5).astype(np.float32))
+            lens = (seg,) * n_datasets
+            a = np.asarray(losses.triplet_loss(key, z, lens))
+            b = np.asarray(losses.triplet_loss(
+                key, z, lens, seg_mask=jnp.ones(n_datasets * seg)))
+            assert np.allclose(a, b, atol=1e-6), n_datasets
+
+    def test_padded_rows_are_inert(self):
+        """With constant within-session embeddings, the masked padded value
+        equals the exact-shape value regardless of permutation draws."""
+        key = jax.random.PRNGKey(3)
+        vec_a = np.array([1.0, 2.0, 3.0])
+        vec_b = np.array([-4.0, 0.0, 5.0])
+        # exact: 30 + 30 rows
+        z_exact = jnp.array(np.vstack([np.tile(vec_a, (30, 1)),
+                                       np.tile(vec_b, (30, 1))]), dtype=jnp.float32)
+        want = np.asarray(losses.triplet_loss(key, z_exact, (30, 30)))
+        # padded: segments of 33 with 30 valid rows + 3 zero-pad rows
+        def pad_seg(vec):
+            return np.vstack([np.tile(vec, (30, 1)), np.zeros((3, 3))])
+        z_pad = jnp.array(np.vstack([pad_seg(vec_a), pad_seg(vec_b)]),
+                          dtype=jnp.float32)
+        mask = jnp.array(np.concatenate(
+            [np.ones(30), np.zeros(3), np.ones(30), np.zeros(3)]), dtype=jnp.float32)
+        got = np.asarray(losses.triplet_loss(
+            jax.random.PRNGKey(99), z_pad, (33, 33), seg_mask=mask))
+        assert np.allclose(got, want, atol=1e-5), (got, want)
+        # without the mask, the zero pad rows contaminate the estimate
+        bad = np.asarray(losses.triplet_loss(
+            jax.random.PRNGKey(99), z_pad, (33, 33)))
+        assert not np.allclose(bad, want, atol=1e-3)

@@ -15,10 +15,13 @@ Run on the real TPU: `python tools/bench_s2d.py`. Prints frames/s per
 variant to stderr and a one-line verdict to stdout.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 
 
 def space_to_depth(x, b):
