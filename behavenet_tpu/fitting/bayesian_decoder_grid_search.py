@@ -97,6 +97,19 @@ def main(hparams, *args):
     smooth = bool(hparams.get('smooth', True))
     parallel = bool(hparams.get('parallel_scan', False))
     use_state_evidence = bool(hparams.get('use_state_evidence', True))
+    # length-bucket trials by NaN-padding: padded rows carry zero evidence,
+    # which is EXACT for the valid prefix (a no-evidence future contributes
+    # nothing to the smoothed past), and keeps compile counts low under
+    # variable trial lengths
+    bucket = int(hparams.get('shape_bucket', 32) or 0)
+
+    def pad_nan(arr):
+        T = arr.shape[0]
+        if not bucket or T % bucket == 0:
+            return arr
+        pad = -(-T // bucket) * bucket - T
+        return np.concatenate(
+            [arr, np.full((pad,) + arr.shape[1:], np.nan, dtype=arr.dtype)])
 
     latents_out = [[np.array([]) for _ in range(ds.n_trials)]
                    for ds in data_generator.datasets]
@@ -109,13 +122,16 @@ def main(hparams, *args):
         for _ in range(data_generator.n_tot_batches[dtype]):
             data, sess = data_generator.next_batch(dtype)
             preds = np.asarray(data['ae_predictions'])
+            T = preds.shape[0]
             q = _softmax_rows(data['arhmm_predictions']) if use_state_evidence else None
-            out = dec.decode(preds, arhmm_predictions=q,
+            out = dec.decode(pad_nan(preds),
+                             arhmm_predictions=None if q is None else pad_nan(q),
                              smooth=smooth, parallel=parallel)
             trial = int(data['batch_idx'])
-            latents_out[sess][trial] = out['latents']
-            states_out[sess][trial] = out['states']
-            mse, r2 = _decode_metrics(np.asarray(data['ae_latents']), out['latents'])
+            latents_out[sess][trial] = out['latents'][:T]
+            states_out[sess][trial] = out['states'][:T]
+            mse, r2 = _decode_metrics(
+                np.asarray(data['ae_latents']), latents_out[sess][trial])
             mses.append(mse)
             if dtype == 'test':
                 exp.log({'epoch': 0, 'dataset': sess, 'trial': trial,

@@ -203,30 +203,40 @@ class BayesianDecoder:
         y = np.nan_to_num(y)
 
         # discrete pass: parallel-prefix message passing when either the
-        # decode or the underlying ARHMM asks for it (long trials)
+        # decode or the underlying ARHMM asks for it (long trials). The
+        # log-lik, forward-backward, and Viterbi stages compile separately —
+        # one combined program at T~100k is disproportionately expensive to
+        # compile (three associative scans in one graph) for no run-time win.
         par_scan = bool(parallel or self.arhmm.parallel_scan)
+        log_pi0 = self.arhmm.params['log_pi0']
 
-        def discrete(y_d, m_d, q_d):
+        def loglik(y_d, m_d, q_d):
             ll = self._discrete_loglik(
                 jnp.where(m_d[:, None] > 0, y_d, 0.0), q_d)
             ll = ll * m_d[:, None]
             log_P = jax.nn.log_softmax(self.arhmm.params['log_Ps'], axis=1)
+            return ll, log_P
+
+        def fb(ll, log_P):
             gamma, _, _ = hmm_ops.forward_backward(
-                self.arhmm.params['log_pi0'], log_P, ll, parallel=par_scan)
-            vit = hmm_ops.viterbi_parallel if par_scan else hmm_ops.viterbi
-            states = vit(self.arhmm.params['log_pi0'], log_P, ll)
-            return gamma, states
+                log_pi0, log_P, ll, parallel=par_scan)
+            return gamma
+
+        def vit(ll, log_P):
+            f = hmm_ops.viterbi_parallel if par_scan else hmm_ops.viterbi
+            return f(log_pi0, log_P, ll)
 
         y = jnp.asarray(y)
         obs_mask = jnp.asarray(obs_mask)
         q = None if arhmm_predictions is None else jnp.asarray(arhmm_predictions)
         if q is None:
-            gamma, states = self._jitted(
-            ('discrete-noq', par_scan, y.shape),
-            lambda y_d, m_d: discrete(y_d, m_d, None))(y, obs_mask)
+            ll, log_P = self._jitted(
+                ('loglik-noq', y.shape),
+                lambda y_d, m_d: loglik(y_d, m_d, None))(y, obs_mask)
         else:
-            gamma, states = self._jitted(
-                ('discrete', par_scan, y.shape), discrete)(y, obs_mask, q)
+            ll, log_P = self._jitted(('loglik', y.shape), loglik)(y, obs_mask, q)
+        gamma = self._jitted(('fb', par_scan, y.shape), fb)(ll, log_P)
+        states = self._jitted(('viterbi', par_scan, y.shape), vit)(ll, log_P)
 
         if parallel:
             mus_s, Sigmas_s = self._jitted(

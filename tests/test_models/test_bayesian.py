@@ -145,6 +145,23 @@ class TestBayesianDecoder:
         diff = np.abs(out_imm['latents'] - out_par['latents'])[conc]
         assert np.median(diff) < 0.05, float(np.median(diff))
 
+    def test_nan_tail_padding_is_exact_for_valid_prefix(self):
+        """Bucket-padding trials with NaN rows must not perturb the valid
+        prefix: a no-evidence future contributes nothing to the smoothed
+        past (the CLI relies on this for length bucketing)."""
+        x, y, z, q = make_slds_data(T=150, seed=4)
+        hmm = _fit_arhmm(x, z)
+        dec = BayesianDecoder(hmm)
+        dec.estimate_obs_noise([x], [y])
+        out = dec.decode(y, arhmm_predictions=q)
+        y_pad = np.concatenate([y, np.full((42, 2), np.nan, dtype=y.dtype)])
+        q_pad = np.concatenate([q, np.full((42, 2), np.nan, dtype=q.dtype)])
+        out_pad = dec.decode(y_pad, arhmm_predictions=q_pad)
+        assert np.allclose(out['latents'], out_pad['latents'][:150], atol=1e-3)
+        assert np.allclose(out['states_posterior'],
+                           out_pad['states_posterior'][:150], atol=1e-3)
+        assert np.isfinite(out_pad['latents']).all()
+
     def test_parallel_decode_nan_borders(self):
         x, y, z, q = make_slds_data(T=200, seed=3)
         y[:4] = np.nan
