@@ -209,12 +209,21 @@ class ConvDecoder:
                 # conv padding by conv_transpose2d
                 out_pad = (0, 0)
             is_last = (i == n - 1) and not self.last_ff
+            c_out = int(hparams['ae_decoding_n_channels'][i])
+            # subpixel layout for tiny-Cout upsampling layers (e.g. the final
+            # conv back to 1 image channel): computes the output in
+            # block-of-pixels-as-channels layout so the MXU's 128 output
+            # lanes are used; measured 1.6x on the default arch's last layer
+            # at batch 1024. Identical math (ops.conv_transpose2d docstring).
+            subpixel = hparams.get('subpixel_decoder', True)
+            block = 4 * s if (subpixel and s > 1 and c_out <= 4) else None
             self.layers.append({
                 'type': 'convtranspose',
                 'name': 'convt_%d' % i,
                 'in': int(c_in),
-                'out': int(hparams['ae_decoding_n_channels'][i]),
+                'out': c_out,
                 'k': k, 'stride': s, 'pad_y': py, 'pad_x': px, 'out_pad': out_pad,
+                'block': block,
                 'sess_io': self.sess_io and (i == n - 1) and not self.last_ff,
             })
             if hparams.get('ae_batch_norm') and not is_last:
@@ -272,7 +281,7 @@ class ConvDecoder:
                 x = ops.conv_transpose2d(
                     x, p['w'], p['b'], spec['stride'], spec['pad_y'], spec['pad_x'],
                     out_pad=spec['out_pad'], compute_dtype=self.compute_dtype,
-                    out_dtype=self.act_dtype)
+                    out_dtype=self.act_dtype, block=spec.get('block'))
             elif spec['type'] == 'unpool':
                 idx = pool_stack.pop(-1)
                 x = ops.max_unpool2d(x, idx, spec['out_hw'])

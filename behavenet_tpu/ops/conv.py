@@ -21,6 +21,7 @@ Compute dtype is configurable: inputs/weights are cast to ``compute_dtype``
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _DIMSPEC = ('NHWC', 'HWIO', 'NHWC')
@@ -56,8 +57,70 @@ def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None, out_dtype=None):
     return out
 
 
+def _tconv_dilated(x, w, stride, pad_y, pad_x, out_pad, dtype, odt):
+    """lhs-dilated lowering of the transposed conv (XLA-native form)."""
+    kh, kw = w.shape[0], w.shape[1]
+    # flip spatial dims: conv-transpose is correlation with the flipped kernel
+    w_flip = w[::-1, ::-1, :, :]
+    return lax.conv_general_dilated(
+        x.astype(dtype), w_flip.astype(dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1 - pad_y[0], kh - 1 - pad_y[1] + out_pad[0]),
+                 (kw - 1 - pad_x[0], kw - 1 - pad_x[1] + out_pad[1])),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMSPEC,
+    ).astype(odt)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _tconv(x, w, stride, pad_y, pad_x, out_pad, cdt, odt):
+    """Transposed-conv core with hand-written exact-transpose gradients.
+
+    Backward: since the transposed conv IS the transpose of a strided conv,
+    grad-x is a plain strided conv of the cotangent and grad-w a strided
+    correlation — both MXU-friendly, unlike the doubly-dilated convs XLA's
+    autodiff of lhs_dilation yields (measured 1.2-1.9x per tconv layer on
+    the default AE arch at batch 1024).
+    """
+    dtype = cdt or x.dtype
+    odtype = odt or jnp.float32
+    return _tconv_dilated(x, w, stride, pad_y, pad_x, out_pad, dtype, odtype)
+
+
+def _tconv_fwd(x, w, stride, pad_y, pad_x, out_pad, cdt, odt):
+    return _tconv(x, w, stride, pad_y, pad_x, out_pad, cdt, odt), (x, w)
+
+
+def _tconv_bwd(stride, pad_y, pad_x, out_pad, cdt, odt, res, ct):
+    x, w = res
+    s = stride
+    dtype = cdt or x.dtype
+    pads = ((pad_y[0], pad_y[1] - out_pad[0]),
+            (pad_x[0], pad_x[1] - out_pad[1]))
+    # out[o] = sum_t x[(o+p0-t)/s] w[t]  =>  gx[i] = sum_t ct[i*s - p0 + t] w[t]:
+    # an UNflipped stride-s conv of the cotangent with w (channels swapped)
+    gx = lax.conv_general_dilated(
+        ct.astype(dtype), w.transpose(0, 1, 3, 2).astype(dtype),
+        window_strides=(s, s), padding=pads,
+        dimension_numbers=_DIMSPEC)
+    # gw[t] = sum_{b,i} x[b,i] ct[b, i*s + t - p0]: slide the (rhs-dilated by
+    # s) input over the cotangent; batch is the contraction (feature) dim
+    gw = lax.conv_general_dilated(
+        ct.transpose(3, 1, 2, 0).astype(dtype),    # (Cout, Oy, Ox, B)
+        x.transpose(1, 2, 0, 3).astype(dtype),     # (Hy, Hx, B, Cin)
+        window_strides=(1, 1), padding=pads, rhs_dilation=(s, s),
+        dimension_numbers=_DIMSPEC)                # (Cout, kh, kw, Cin)
+    return gx.astype(jnp.result_type(x)), gw.transpose(1, 2, 3, 0).astype(jnp.result_type(w))
+
+
+_tconv.defvjp(_tconv_fwd, _tconv_bwd)
+
+
 def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
-                     compute_dtype=None, out_dtype=None):
+                     compute_dtype=None, out_dtype=None, block=None):
     """Transposed conv matching torch ConvTranspose2d semantics.
 
     Implemented as an input-dilated convolution: dilate by ``stride``, pad
@@ -65,7 +128,14 @@ def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
     correlate with the spatially-flipped kernel. Output size is
     ``(in-1)*s + k - p_before - p_after + out_pad`` per dim, which equals
     torch's ``(in-1)*s - 2p + k + op`` for symmetric pads and equals the
-    reference's conv-then-crop for asymmetric pads (aes.py:465-470).
+    reference's conv-then-crop for asymmetric pads (aes.py:407-418, 465-470).
+
+    With ``block=F`` the forward runs as the subpixel phase decomposition
+    (see :func:`_subpixel_fwd`) — identical math, MXU-efficient for tiny
+    ``Cout`` — with autodiff gradients (which stay efficient through the
+    non-dilated subpixel form). With ``block=None`` the forward is the
+    lhs-dilated conv with hand-written exact-transpose gradients
+    (see ``_tconv``).
 
     Parameters
     ----------
@@ -75,26 +145,102 @@ def conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
     stride : int
     pad_y, pad_x : (before, after) "input padding" in the torch sense
     out_pad : (opy, opx) torch output_padding
+    block : optional subpixel block factor (multiple of stride)
+    """
+    if block is not None:
+        out = _subpixel_fwd(x, w, int(stride), tuple(pad_y), tuple(pad_x),
+                            tuple(out_pad), int(block),
+                            compute_dtype or x.dtype,
+                            out_dtype or jnp.float32)
+    else:
+        out = _tconv(x, w, int(stride), tuple(pad_y), tuple(pad_x),
+                     tuple(out_pad), compute_dtype, out_dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def depth_to_space(x, block):
+    """(N, H, W, block*block*C) -> (N, H*block, W*block, C).
+
+    Channel index is ordered (ry, rx, c): channel (ry*block + rx)*C + c maps
+    to output pixel (h*block + ry, w*block + rx, c).
+    """
+    n, h, w, c = x.shape
+    co = c // (block * block)
+    x = x.reshape(n, h, w, block, block, co)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * block, w * block, co)
+
+
+def _subpixel_dim(k, s, p0, block):
+    """Per-dimension tap regrouping for the subpixel transposed conv.
+
+    Output position o = y*block + r pulls input i = y*(block//s) + j with
+    tap t = r + p0 - s*j; returns (P, jmin, t, valid) where t/valid are
+    (P, block) arrays of the tap index and its in-range mask.
+    """
+    jmin = -((k - 1 - p0) // s)
+    jmax = (block - 1 + p0) // s
+    P = jmax - jmin + 1
+    j = np.arange(P) + jmin
+    r = np.arange(block)
+    t = r[None, :] + p0 - s * j[:, None]
+    valid = (t >= 0) & (t < k)
+    return P, jmin, jmax, np.clip(t, 0, k - 1), valid
+
+
+def _subpixel_fwd(x, w, stride, pad_y, pad_x, out_pad, block, dtype, odt):
+    """Subpixel (phase-decomposed) forward of the transposed conv.
+
+    Mathematically identical to the lhs-dilated form (same params, same
+    output), but instead of dilating the input with zeros it computes the
+    output directly in a block-of-``block``x``block``-pixels-as-channels
+    layout and rearranges. With ``block**2 * Cout >= 128`` the MXU's output
+    lanes are saturated even for tiny ``Cout`` — this is how the decoder's
+    final 1-channel layer runs on the MXU at all (the lhs-dilated lowering
+    leaves it at ~2% utilization). ``block`` must be a multiple of
+    ``stride``.
     """
     kh, kw = w.shape[0], w.shape[1]
-    py0, py1 = pad_y
-    px0, px1 = pad_x
-    opy, opx = out_pad
-    dtype = compute_dtype or x.dtype
-    odt = out_dtype or jnp.float32
-    # flip spatial dims: conv-transpose is correlation with the flipped kernel
-    w_flip = w[::-1, ::-1, :, :]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, w_in, _ = x.shape
+    s = stride
+    F = int(block)
+    assert F % s == 0, 'block must be a multiple of stride'
+    fs = F // s
+    oh = (h - 1) * s + kh - pad_y[0] - pad_y[1] + out_pad[0]
+    ow = (w_in - 1) * s + kw - pad_x[0] - pad_x[1] + out_pad[1]
+    yb, xb = -(-oh // F), -(-ow // F)
+
+    Py, jmin_y, jmax_y, ty, vy = _subpixel_dim(kh, s, pad_y[0], F)
+    Px, jmin_x, jmax_x, tx, vx = _subpixel_dim(kw, s, pad_x[0], F)
+    # regrouped kernel: (Py, Px, ci, F*F*co), channels ordered (ry, rx, co)
+    w2 = w[ty[:, None, :, None], tx[None, :, None, :], :, :]  # (Py,Px,F,F,ci,co)
+    mask = (vy[:, None, :, None] & vx[None, :, None, :])[..., None, None]
+    w2 = jnp.where(mask, w2, 0)
+    w2 = w2.transpose(0, 1, 4, 2, 3, 5).reshape(Py, Px, ci, F * F * co)
+
     out = lax.conv_general_dilated(
-        x.astype(dtype), w_flip.astype(dtype),
-        window_strides=(1, 1),
-        padding=((kh - 1 - py0, kh - 1 - py1 + opy),
-                 (kw - 1 - px0, kw - 1 - px1 + opx)),
-        lhs_dilation=(stride, stride),
+        x.astype(dtype), w2.astype(dtype),
+        window_strides=(fs, fs),
+        padding=((-jmin_y, (yb - 1) * fs + jmax_y - (h - 1)),
+                 (-jmin_x, (xb - 1) * fs + jmax_x - (w_in - 1))),
         dimension_numbers=_DIMSPEC,
     ).astype(odt)
-    if b is not None:
-        out = out + b.astype(odt)
-    return out
+    return depth_to_space(out, F)[:, :oh, :ow, :]
+
+
+def conv_transpose2d_subpixel(x, w, b, stride, pad_y, pad_x, out_pad=(0, 0),
+                              block=2, compute_dtype=None, out_dtype=None):
+    """Transposed conv computed as a strided conv + depth-to-space.
+
+    Same semantics as :func:`conv_transpose2d`; see :func:`_subpixel_fwd`
+    for when this layout wins.
+    """
+    return conv_transpose2d(x, w, b, stride, pad_y, pad_x, out_pad=out_pad,
+                            compute_dtype=compute_dtype, out_dtype=out_dtype,
+                            block=int(block))
 
 
 def max_pool2d_with_indices(x, ceil_mode=True):

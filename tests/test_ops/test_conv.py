@@ -79,6 +79,55 @@ class TestConvTranspose2d:
         assert np.allclose(out, ref, atol=1e-4)
 
 
+class TestConvTransposeFast:
+    """Subpixel forward and custom-VJP gradients are exact rearrangements."""
+
+    @pytest.mark.parametrize('k,stride,pads,out_pad,block', [
+        (5, 2, ((1, 2), (2, 1)), 0, 2),
+        (5, 2, ((1, 2), (1, 2)), 0, 8),
+        (5, 5, ((1, 2), (1, 2)), 0, 5),
+        (4, 2, ((2, 2), (2, 2)), 1, 4),
+        (3, 2, ((0, 0), (0, 0)), 1, 2),
+    ])
+    def test_subpixel_matches_dilated(self, k, stride, pads, out_pad, block):
+        import jax
+        rng = np.random.RandomState(5)
+        x = jnp.array(rng.randn(2, 9, 8, 6).astype(np.float32))
+        w = jnp.array(rng.randn(k, k, 6, 3).astype(np.float32))
+        b = jnp.array(rng.randn(3).astype(np.float32))
+        ref = ops._tconv_dilated(x, w, stride, pads[0], pads[1],
+                                 (out_pad, out_pad), jnp.float32, jnp.float32) + b
+        out = ops.conv_transpose2d(x, w, b, stride, pads[0], pads[1],
+                                   (out_pad, out_pad), block=block)
+        assert out.shape == ref.shape
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    @pytest.mark.parametrize('block', [None, 2, 4])
+    def test_custom_vjp_matches_autodiff(self, block):
+        """Hand-written gx/gw (block=None) and autodiff-through-subpixel
+        (block=F) both equal autodiff through the raw dilated lowering."""
+        import jax
+        rng = np.random.RandomState(6)
+        x = jnp.array(rng.randn(2, 7, 9, 5).astype(np.float32))
+        w = jnp.array(rng.randn(5, 5, 5, 2).astype(np.float32))
+
+        def f_ref(x_, w_):
+            o = ops._tconv_dilated(x_, w_, 2, (1, 2), (2, 1), (1, 1),
+                                   jnp.float32, jnp.float32)
+            return jnp.sum(jnp.sin(o))
+
+        def f_new(x_, w_):
+            o = ops.conv_transpose2d(x_, w_, None, 2, (1, 2), (2, 1), (1, 1),
+                                     block=block)
+            return jnp.sum(jnp.sin(o))
+
+        v0, g0 = jax.value_and_grad(f_ref, argnums=(0, 1))(x, w)
+        v1, g1 = jax.value_and_grad(f_new, argnums=(0, 1))(x, w)
+        assert np.allclose(v0, v1, atol=1e-4)
+        assert np.allclose(np.asarray(g0[0]), np.asarray(g1[0]), atol=1e-3)
+        assert np.allclose(np.asarray(g0[1]), np.asarray(g1[1]), atol=1e-3)
+
+
 class TestMaxPoolUnpool:
 
     @pytest.mark.parametrize('hw,ceil', [((14, 14), False), ((13, 17), True), ((13, 17), False)])
