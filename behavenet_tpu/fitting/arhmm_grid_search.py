@@ -104,7 +104,10 @@ def main(hparams, *args):
         lags=hparams['n_arhmm_lags'], observations=obs_type,
         transitions=transitions, kappa=hparams.get('kappa', 0),
         rng_seed=hparams['rng_seed_model'],
-        parallel_scan=bool(hparams.get('parallel_scan', False)))
+        parallel_scan=bool(hparams.get('parallel_scan', False)),
+        # 'float64' runs the full EM in f64 (CPU parity studies; needs
+        # JAX_ENABLE_X64=1 in the environment)
+        dtype=hparams.get('em_dtype', 'float32'))
     hmm.initialize(latents['train'], localize=hparams['n_arhmm_lags'] > 0)
     hparams['training_completed'] = False
     export_hparams(hparams, exp)

@@ -44,13 +44,13 @@ __all__ = ['ARHMM']
 LN2PI = float(np.log(2 * np.pi))
 
 
-def _pad_datas(datas):
+def _pad_datas(datas, dtype=np.float32):
     """List of (T_i, D) -> (stacked (N, Tmax, D), mask (N, Tmax))."""
-    datas = [np.asarray(d, dtype=np.float32) for d in datas]
+    datas = [np.asarray(d, dtype=dtype) for d in datas]
     Tmax = max(d.shape[0] for d in datas)
     D = datas[0].shape[1]
-    out = np.zeros((len(datas), Tmax, D), dtype=np.float32)
-    mask = np.zeros((len(datas), Tmax), dtype=np.float32)
+    out = np.zeros((len(datas), Tmax, D), dtype=dtype)
+    mask = np.zeros((len(datas), Tmax), dtype=dtype)
     for i, d in enumerate(datas):
         out[i, :d.shape[0]] = d
         mask[i, :d.shape[0]] = 1.0
@@ -70,7 +70,8 @@ class ARHMM:
     """(AR)HMM with EM fitting; API mirrors ssm.HMM where the reference uses it."""
 
     def __init__(self, K, D, lags=1, observations='ar', transitions='stationary',
-                 kappa=0.0, nu=4.0, rng_seed=0, parallel_scan=False):
+                 kappa=0.0, nu=4.0, rng_seed=0, parallel_scan=False,
+                 dtype='float32'):
         if observations not in ('ar', 'gaussian', 'diagonal_ar', 'diagonal_gaussian',
                                 'robust_ar', 'studentst', 'diagonal_robust_ar',
                                 'diagonal_studentst'):
@@ -87,6 +88,20 @@ class ARHMM:
         # MXU): same results to f32 roundoff, ~7x faster at T=100k on TPU;
         # the sequential scan is faster for the usual short-trial regime
         self.parallel_scan = bool(parallel_scan)
+        # f64 EM (CPU-oriented): for ssm-bit-parity studies where f32
+        # posteriors/WLS round differently from the reference's numpy f64.
+        # Requires x64 mode so jnp doesn't silently downcast.
+        if dtype not in ('float32', 'float64'):
+            raise ValueError('dtype must be "float32" or "float64"')
+        if dtype == 'float64':
+            import jax as _jax
+            if not _jax.config.jax_enable_x64:
+                raise RuntimeError(
+                    'ARHMM(dtype="float64") needs x64 mode: set JAX_ENABLE_X64=1 '
+                    'or jax.config.update("jax_enable_x64", True) before any '
+                    'computation (intended for CPU parity studies).')
+        self.dtype = dtype
+        self.np_dtype = np.float64 if dtype == 'float64' else np.float32
         self.autoregressive = 'ar' in observations.split('_') or observations.endswith('ar')
         self.lags = int(lags) if self.autoregressive else 0
         self.diagonal = observations.startswith('diagonal')
@@ -97,19 +112,19 @@ class ARHMM:
         Ps = 0.95 * np.eye(K) + 0.05 * rng.rand(K, K)
         Ps /= Ps.sum(axis=1, keepdims=True)
         self.params = {
-            'log_pi0': jnp.asarray(np.log(np.ones(K) / K), dtype=jnp.float32),
-            'log_Ps': jnp.asarray(np.log(Ps), dtype=jnp.float32),
+            'log_pi0': jnp.asarray(np.log(np.ones(K) / K), dtype=self.np_dtype),
+            'log_Ps': jnp.asarray(np.log(Ps), dtype=self.np_dtype),
             # AR weights [A_1 ... A_lags] (K, D, D*lags) and bias (K, D)
             'As': jnp.asarray(
                 0.8 * np.tile(np.eye(self.D), (K, 1, self.lags))
-                if self.lags > 0 else np.zeros((K, self.D, max(P, 1))), dtype=jnp.float32),
-            'bs': jnp.asarray(0.01 * rng.randn(K, self.D), dtype=jnp.float32),
-            'Sigmas': jnp.asarray(np.tile(np.eye(self.D), (K, 1, 1)), dtype=jnp.float32),
-            'nus': jnp.full((K,), float(nu), dtype=jnp.float32),
+                if self.lags > 0 else np.zeros((K, self.D, max(P, 1))), dtype=self.np_dtype),
+            'bs': jnp.asarray(0.01 * rng.randn(K, self.D), dtype=self.np_dtype),
+            'Sigmas': jnp.asarray(np.tile(np.eye(self.D), (K, 1, 1)), dtype=self.np_dtype),
+            'nus': jnp.full((K,), float(nu), dtype=self.np_dtype),
         }
         if transitions in ('recurrent', 'recurrent_only'):
-            self.params['Rs'] = jnp.asarray(0.01 * rng.randn(K, self.D), dtype=jnp.float32)
-            self.params['r'] = jnp.zeros((K,), dtype=jnp.float32)
+            self.params['Rs'] = jnp.asarray(0.01 * rng.randn(K, self.D), dtype=self.np_dtype)
+            self.params['r'] = jnp.zeros((K,), dtype=self.np_dtype)
 
         self._fit_step = None  # compiled EM step cache
 
@@ -142,6 +157,8 @@ class ARHMM:
     def __setstate__(self, state):
         self.__dict__.update(state)
         self.__dict__.setdefault('parallel_scan', False)  # pre-flag pickles
+        self.__dict__.setdefault('dtype', 'float32')
+        self.__dict__.setdefault('np_dtype', np.float32)
         self.params = {k: jnp.asarray(v) for k, v in self.params.items()}
 
     def save(self, filepath):
@@ -212,7 +229,7 @@ class ARHMM:
         """Total log-likelihood of a trial or list of trials (ssm.HMM API)."""
         if not isinstance(datas, (list, tuple)):
             datas = [datas]
-        x, mask = _pad_datas(datas)
+        x, mask = _pad_datas(datas, self.np_dtype)
         return float(self._batch_ll(self.params, x, mask))
 
     def _batch_ll(self, params, x, mask):
@@ -226,8 +243,8 @@ class ARHMM:
 
     def most_likely_states(self, data):
         """Viterbi path for one trial (T,) (ssm.HMM API)."""
-        x = jnp.asarray(np.asarray(data, dtype=np.float32))
-        mask = jnp.ones(x.shape[0], dtype=jnp.float32)
+        x = jnp.asarray(np.asarray(data, dtype=self.np_dtype))
+        mask = jnp.ones(x.shape[0], dtype=self.np_dtype)
         ll = self._log_likes(self.params, x, mask)
         lp = self._log_P(self.params, x, mask)
         vit = hmm_ops.viterbi_parallel if self.parallel_scan else hmm_ops.viterbi
@@ -235,8 +252,8 @@ class ARHMM:
 
     def expected_states(self, data):
         """Posterior marginals gamma (T, K) for one trial."""
-        x = jnp.asarray(np.asarray(data, dtype=np.float32))
-        mask = jnp.ones(x.shape[0], dtype=jnp.float32)
+        x = jnp.asarray(np.asarray(data, dtype=self.np_dtype))
+        mask = jnp.ones(x.shape[0], dtype=self.np_dtype)
         ll = self._log_likes(self.params, x, mask)
         lp = self._log_P(self.params, x, mask)
         gamma, _, _ = hmm_ops.forward_backward(
@@ -283,7 +300,7 @@ class ARHMM:
         noise = np.asarray(jax.random.normal(k_x, (T, D)))
         hist = [] if prefix is None else [np.asarray(p) for p in prefix]
         zs = np.zeros(T, dtype=np.int32)
-        xs = np.zeros((T, D), dtype=np.float32)
+        xs = np.zeros((T, D), dtype=self.np_dtype)
         for t in range(T):
             if t == 0:
                 zs[0] = rs.choice(K, p=pi0)
@@ -326,7 +343,7 @@ class ARHMM:
         D = self.D
         chols = np.linalg.cholesky(np.asarray(self.params['Sigmas']) + 1e-8 * np.eye(D))
         noise = np.asarray(jax.random.normal(key, (T, D)))
-        xs = np.zeros((T, D), dtype=np.float32)
+        xs = np.zeros((T, D), dtype=self.np_dtype)
         hist = [] if prefix is None else [np.asarray(p) for p in prefix]
         for t in range(T):
             k = int(states[t])
@@ -385,9 +402,9 @@ class ARHMM:
                 Sigmas[k] = (resid.T @ resid) / max(len(Yk), 1) + 1e-4 * np.eye(D)
 
         self.params = dict(self.params)
-        self.params['As'] = jnp.asarray(As, dtype=jnp.float32)
-        self.params['bs'] = jnp.asarray(bs, dtype=jnp.float32)
-        self.params['Sigmas'] = jnp.asarray(Sigmas, dtype=jnp.float32)
+        self.params['As'] = jnp.asarray(As, dtype=self.np_dtype)
+        self.params['bs'] = jnp.asarray(bs, dtype=self.np_dtype)
+        self.params['Sigmas'] = jnp.asarray(Sigmas, dtype=self.np_dtype)
 
     def _em_step(self, params, x, mask):
         """One full EM iteration on padded trials (N, T, D); fully jittable."""
@@ -596,7 +613,7 @@ class ARHMM:
             datas = [datas]
         if initialize:
             self.initialize(datas)
-        x, mask = _pad_datas(datas)
+        x, mask = _pad_datas(datas, self.np_dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             axis = mesh.axis_names[0]

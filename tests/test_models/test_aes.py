@@ -62,6 +62,28 @@ class TestAE:
         gnorm = sum(float(jnp.sum(g ** 2)) for g in jax.tree_util.tree_leaves(grads))
         assert gnorm > 0
 
+    def test_subpixel_decoder_matches_dilated(self):
+        """The automatic subpixel block for tiny-Cout decoder layers is an
+        exact rearrangement: same params -> same reconstruction + grads."""
+        hp_on = make_hparams()          # subpixel_decoder defaults to True
+        hp_off = make_hparams(subpixel_decoder=False)
+        m_on, m_off = AE(hp_on), AE(hp_off)
+        # the default arch's final decoder layer has Cout=1 -> block engaged
+        assert any(s.get('block') for s in m_on.decoding.layers
+                   if s['type'] == 'convtranspose')
+        assert not any(s.get('block') for s in m_off.decoding.layers
+                       if s['type'] == 'convtranspose')
+        params = m_on.init(jax.random.PRNGKey(0))
+        batch = {'images': jnp.array(np.random.RandomState(0).rand(5, 32, 24, 1),
+                                     dtype=jnp.float32)}
+        (l0, _), g0 = jax.value_and_grad(m_off.loss_fn, has_aux=True)(
+            params, batch, jax.random.PRNGKey(1))
+        (l1, _), g1 = jax.value_and_grad(m_on.loss_fn, has_aux=True)(
+            params, batch, jax.random.PRNGKey(1))
+        assert np.allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_bf16_pipeline_matches_f32(self):
         """bf16 activation chain: close to f32 forward; f32 outputs + grads."""
         x = jnp.array(np.random.RandomState(0).rand(5, 32, 24, 1), dtype=jnp.float32)

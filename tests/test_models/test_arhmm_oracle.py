@@ -183,3 +183,65 @@ class TestOracleEM:
                     transitions='sticky', kappa=50.0, rng_seed=0)
         hmm.initialize(datas)
         _run_em_compare(hmm, datas, lags=0, kappa=50.0, sticky=True)
+
+
+class TestFloat64EM:
+    """ARHMM(dtype='float64'): CPU parity mode runs the whole EM in f64."""
+
+    def test_f64_requires_x64_mode(self):
+        import jax
+        if jax.config.jax_enable_x64:
+            import pytest
+            pytest.skip('x64 already enabled in this process')
+        import pytest
+        with pytest.raises(RuntimeError, match='x64'):
+            ARHMM(K=2, D=2, lags=0, observations='gaussian', dtype='float64')
+
+    def test_f64_em_matches_oracle_tightly(self):
+        """In a subprocess with JAX_ENABLE_X64, the f64 engine should track
+        the f64 numpy oracle to near machine precision (vs the f32 engine's
+        ~1e-3 tolerance above)."""
+        import os
+        import subprocess
+        import sys
+        code = r'''
+import os
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+import jax
+jax.config.update('jax_enable_x64', True)
+import numpy as np
+import sys
+sys.path.insert(0, %r)
+sys.path.insert(0, %r)
+from behavenet_tpu.models.arhmm import ARHMM
+from test_models.test_arhmm_oracle import _sticky_data, oracle_em_step
+
+datas = [_sticky_data(80, 2, seed=s) for s in range(2)]
+hmm = ARHMM(K=3, D=2, lags=0, observations='gaussian', rng_seed=0,
+            dtype='float64')
+hmm.initialize(datas)
+assert hmm.params['Sigmas'].dtype == np.float64
+from behavenet_tpu.models.arhmm import _pad_datas
+x, mask = _pad_datas(datas, np.float64)
+assert x.dtype == np.float64
+params64 = {k: np.asarray(v, dtype=np.float64) for k, v in hmm.params.items()}
+for it in range(3):
+    new64, ll64 = oracle_em_step(params64, [np.asarray(d, np.float64) for d in datas],
+                                  lags=0)
+    lls = hmm.fit(datas, num_iters=1, initialize=False)
+    assert np.allclose(lls[0], ll64, rtol=1e-9), (lls[0], ll64)
+    for key in ('log_pi0', 'log_Ps', 'bs', 'Sigmas'):
+        got = np.asarray(hmm.params[key])
+        assert got.dtype == np.float64
+        assert np.allclose(got, new64[key], rtol=1e-4, atol=1e-7), (it, key)
+    params64 = {k: np.asarray(v) for k, v in hmm.params.items()}
+print('F64 OK')
+'''
+        import behavenet_tpu
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(behavenet_tpu.__file__)))
+        code = code % (repo, os.path.join(repo, 'tests'))
+        env = dict(os.environ, JAX_PLATFORMS='cpu', PALLAS_AXON_POOL_IPS='')
+        out = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                             text=True, env=env, timeout=600)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert 'F64 OK' in out.stdout
