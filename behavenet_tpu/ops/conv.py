@@ -19,6 +19,8 @@ Compute dtype is configurable: inputs/weights are cast to ``compute_dtype``
 ``preferred_element_type``.
 """
 
+from functools import partial as _partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -48,6 +48,10 @@ MODELS_TO_FIT = [
     {'model_class': 'ae', 'model_file': 'ae', 'sessions': SESSIONS[0]},
     {'model_class': 'arhmm', 'model_file': 'arhmm', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-ae', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
+    # mv = gaussian-full noise (learned per-frame full precision); exercises
+    # the batched precision head under the default shape bucketing
+    {'model_class': 'neural-ae', 'model_file': 'decoder', 'sessions': SESSIONS[0],
+     'overrides': {'model_type': 'mlp-mv'}},
     {'model_class': 'neural-ae-me', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-labels', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-arhmm', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
@@ -309,16 +313,22 @@ def main(device='cpu'):
         base_config_files = get_model_config_files(model['model_class'], json_dir)
         new_values = define_new_config_values(
             model['model_class'], model['sessions'], device)
+        new_values['model'].update(model.get('overrides', {}))
         config_dicts, new_config_files = update_config_files(
             base_config_files, new_values, save_dir)
         print('\n---------------------------------------------------')
-        print('model: %s (session=%s)' % (model['model_class'], model['sessions']))
+        print('model: %s%s (session=%s)' % (
+            model['model_class'],
+            ' ' + str(model['overrides']) if model.get('overrides') else '',
+            model['sessions']))
         print('---------------------------------------------------')
         ok = fit_model(model['model_file'], new_config_files, env)
         if model['sessions'] == 'all':
             model_key = '%s-multisession' % model['model_class']
         else:
             model_key = model['model_class']
+        if model.get('overrides', {}).get('model_type'):
+            model_key += '/' + model['overrides']['model_type']
         passed = ok and check_model(config_dicts, data_dir, save_dir)
         results[model_key] = passed
 
