@@ -212,9 +212,11 @@ class ConvDecoder:
             c_out = int(hparams['ae_decoding_n_channels'][i])
             # subpixel layout for tiny-Cout upsampling layers (e.g. the final
             # conv back to 1 image channel): computes the output in
-            # block-of-pixels-as-channels layout so the MXU's 128 output
-            # lanes are used; measured 1.6x on the default arch's last layer
-            # at batch 1024. Identical math (ops.conv_transpose2d docstring).
+            # block-of-pixels-as-channels layout so the MXU's output lanes
+            # are used; block=4*s measured best (1.6x fwd+bwd on the default
+            # arch's last layer at batch 1024; larger blocks lose to kernel
+            # growth + dilated grad-x). Identical math (ops.conv_transpose2d
+            # docstring).
             subpixel = hparams.get('subpixel_decoder', True)
             block = 4 * s if (subpixel and s > 1 and c_out <= 4) else None
             self.layers.append({

@@ -159,6 +159,12 @@ class ARHMM:
         self.__dict__.setdefault('parallel_scan', False)  # pre-flag pickles
         self.__dict__.setdefault('dtype', 'float32')
         self.__dict__.setdefault('np_dtype', np.float32)
+        if self.dtype == 'float64' and not jax.config.jax_enable_x64:
+            # same guard as __init__: without it jnp.asarray silently
+            # downcasts every param to f32 while self.dtype claims 'float64'
+            raise RuntimeError(
+                'loading an ARHMM fitted with dtype="float64" needs x64 mode: '
+                'set JAX_ENABLE_X64=1 before starting the process.')
         self.params = {k: jnp.asarray(v) for k, v in self.params.items()}
 
     def save(self, filepath):

@@ -74,9 +74,6 @@ def _tconv_dilated(x, w, stride, pad_y, pad_x, out_pad, dtype, odt):
     ).astype(odt)
 
 
-from functools import partial as _partial
-
-
 @_partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _tconv(x, w, stride, pad_y, pad_x, out_pad, cdt, odt):
     """Transposed-conv core with hand-written exact-transpose gradients.
@@ -198,10 +195,14 @@ def _subpixel_fwd(x, w, stride, pad_y, pad_x, out_pad, block, dtype, odt):
     Mathematically identical to the lhs-dilated form (same params, same
     output), but instead of dilating the input with zeros it computes the
     output directly in a block-of-``block``x``block``-pixels-as-channels
-    layout and rearranges. With ``block**2 * Cout >= 128`` the MXU's output
-    lanes are saturated even for tiny ``Cout`` — this is how the decoder's
-    final 1-channel layer runs on the MXU at all (the lhs-dilated lowering
-    leaves it at ~2% utilization). ``block`` must be a multiple of
+    layout and rearranges — ``block**2 * Cout`` effective output channels
+    fill the MXU's 128 lanes that a tiny ``Cout`` leaves idle (the
+    lhs-dilated lowering of the 1-channel final decoder layer measures ~2%
+    MXU). Measured on that layer at batch 1024: ``block=8`` (64 channels)
+    is the sweet spot — 3.1x forward vs dilated; ``block=16`` (128
+    channels, full lanes) loses badly because the kernel grows as
+    ``(block+k-1)/stride`` and the autodiff grad-x becomes a
+    ``block/stride``-dilated conv. ``block`` must be a multiple of
     ``stride``.
     """
     kh, kw = w.shape[0], w.shape[1]

@@ -245,3 +245,25 @@ print('F64 OK')
                              text=True, env=env, timeout=600)
         assert out.returncode == 0, out.stdout + out.stderr
         assert 'F64 OK' in out.stdout
+
+
+    def test_f64_pickle_needs_x64_to_load(self):
+        """An f64-fitted pickle must refuse to load silently downcast."""
+        import io
+        import pickle
+        import jax
+        if jax.config.jax_enable_x64:
+            import pytest
+            pytest.skip('x64 enabled; the guard cannot trip in this process')
+        hmm = ARHMM(K=2, D=2, lags=0, observations='gaussian')
+        blob = io.BytesIO()
+        pickle.dump(hmm, blob)
+        state_patch = pickle.loads(blob.getvalue())  # f32 round-trip fine
+        assert state_patch.dtype == 'float32'
+        # forge an f64-tagged pickle (as written by an x64 process)
+        hmm.dtype = 'float64'
+        blob = io.BytesIO()
+        pickle.dump(hmm, blob)
+        import pytest
+        with pytest.raises(RuntimeError, match='x64'):
+            pickle.loads(blob.getvalue())
