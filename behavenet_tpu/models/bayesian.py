@@ -167,7 +167,7 @@ class BayesianDecoder:
         return sum(terms)
 
     def decode(self, ae_predictions, arhmm_predictions=None, smooth=True,
-               parallel=False):
+               parallel=False, as_numpy=True):
         """Decode latents + states from neural predictions for one trial.
 
         Parameters
@@ -184,6 +184,9 @@ class BayesianDecoder:
             soft dynamics instead of the sequential IMM filter — preferred
             for very long trials; omits the IMM mixture-spread covariance
             term (negligible when the state posterior is concentrated)
+        as_numpy : bool
+            fetch results to host numpy arrays (default). Pass False to
+            keep them on device when further JAX computation follows.
 
         Returns
         -------
@@ -253,12 +256,18 @@ class BayesianDecoder:
                 ('imm', smooth, y.shape), imm)(y, obs_mask, gamma)
 
         D = self.D
-        return {
-            'latents': np.asarray(mus_s[:, :D]),
-            'latents_cov': np.asarray(Sigmas_s[:, :D, :D]),
-            'states': np.asarray(states),
-            'states_posterior': np.asarray(gamma),
+        out = {
+            'latents': mus_s[:, :D],
+            'latents_cov': Sigmas_s[:, :D, :D],
+            'states': states,
+            'states_posterior': gamma,
         }
+        if as_numpy:
+            # one forced host fetch per array; with the axon remote tunnel
+            # this transfer can dominate decode wall time — pipelines that
+            # keep computing in JAX should pass as_numpy=False
+            out = {k: np.asarray(v) for k, v in out.items()}
+        return out
 
     def _init_moments(self, y, gamma):
         """Prior moments of the augmented state at t=0."""
@@ -347,8 +356,13 @@ class BayesianDecoder:
         F = F.at[0].set(jnp.eye(n))
         c = c.at[0].set(jnp.zeros(n))
         Q = Q.at[0].set(1e-6 * jnp.eye(n))
+        # chunked two-level scans: a single associative scan at T~100k takes
+        # XLA many minutes to compile (batched solves at every combine
+        # level); chunking bounds compile time at the 8k-program cost while
+        # keeping the run O(T/chunk + log chunk) depth
+        chunk = 8192 if y.shape[0] > 8192 else None
         ms, Ps = kalman.filter_parallel(
-            F, c, Q, self._H, self.R, y, obs_mask, mu0, Sigma0)
+            F, c, Q, self._H, self.R, y, obs_mask, mu0, Sigma0, chunk=chunk)
         if smooth:
-            ms, Ps = kalman.smooth_parallel(F, c, Q, ms, Ps)
+            ms, Ps = kalman.smooth_parallel(F, c, Q, ms, Ps, chunk=chunk)
         return ms, Ps

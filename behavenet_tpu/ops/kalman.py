@@ -32,6 +32,49 @@ def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
+def _chunked_prefix_scan(combine, elems, identity, chunk, reverse=False):
+    """Two-level prefix (suffix when ``reverse``) scan over pytree elements.
+
+    Equivalent to ``lax.associative_scan(combine, elems, reverse=reverse)``
+    but runs the associative scan inside fixed-size chunks and carries the
+    running prefix across chunks with a cheap ``lax.scan``. XLA compile
+    time is then bounded by the (power-of-two) chunk size instead of
+    growing with T — a single T=100k associative Kalman program takes >15
+    minutes to compile through the remote-compile path, while the chunked
+    form compiles like a T=8k program and runs within a few percent.
+
+    ``identity`` is a per-element pytree that must be a two-sided identity
+    of ``combine`` (used for the cross-chunk carry and tail padding).
+    ``combine`` must accept batched (leading-dim) elements, as required by
+    ``lax.associative_scan`` itself. Argument order follows
+    ``associative_scan``'s convention in the given direction: the first
+    argument is the accumulated block on the scan-origin side.
+    """
+    tmap = jax.tree_util.tree_map
+    T = jax.tree_util.tree_leaves(elems)[0].shape[0]
+    chunk = int(chunk)
+    if T <= chunk:
+        return lax.associative_scan(combine, elems, reverse=reverse)
+    n_chunks = -(-T // chunk)
+    pad = n_chunks * chunk - T
+    if pad:
+        elems = tmap(
+            lambda e, i: jnp.concatenate(
+                [e, jnp.broadcast_to(i, (pad,) + i.shape)], axis=0),
+            elems, identity)
+    elems = tmap(lambda e: e.reshape((n_chunks, chunk) + e.shape[1:]), elems)
+
+    def body(carry, ch):
+        within = lax.associative_scan(combine, ch, reverse=reverse)
+        carry_b = tmap(lambda c: jnp.broadcast_to(c, (chunk,) + c.shape), carry)
+        full = combine(carry_b, within)
+        new_carry = tmap(lambda f: f[0] if reverse else f[-1], full)
+        return new_carry, full
+
+    _, out = lax.scan(body, identity, elems, reverse=reverse)
+    return tmap(lambda o: o.reshape((n_chunks * chunk,) + o.shape[2:])[:T], out)
+
+
 def filter_sequential(F, c, Q, H, R, y, mask, m0, P0):
     """Standard Kalman filter as a lax.scan.
 
@@ -123,17 +166,23 @@ def _filter_combine(e1, e2):
     return A, b, C, eta, J
 
 
-def filter_parallel(F, c, Q, H, R, y, mask, m0, P0):
+def filter_parallel(F, c, Q, H, R, y, mask, m0, P0, chunk=None):
     """Parallel-prefix Kalman filter (depth O(log T)).
 
     Same results as :func:`filter_sequential` up to f32 roundoff. Returns
     (ms, Ps) — prediction-path byproducts are not materialized here; use
-    :func:`smooth_parallel` for smoothing.
+    :func:`smooth_parallel` for smoothing. ``chunk`` bounds compile time
+    for very long T (see :func:`_chunked_prefix_scan`).
     """
+    n = F.shape[1]
     elems = _filter_elements(F, c, Q, H, R, y, mask, m0, P0)
-    A, b, C, eta, J = lax.associative_scan(
-        lambda e1, e2: _filter_combine(
-            tuple(x for x in e1), tuple(x for x in e2)), elems)
+    combine = lambda e1, e2: _filter_combine(tuple(e1), tuple(e2))
+    if chunk:
+        identity = (jnp.eye(n), jnp.zeros(n), jnp.zeros((n, n)),
+                    jnp.zeros(n), jnp.zeros((n, n)))
+        A, b, C, eta, J = _chunked_prefix_scan(combine, elems, identity, chunk)
+    else:
+        A, b, C, eta, J = lax.associative_scan(combine, elems)
     return b, C
 
 
@@ -180,10 +229,11 @@ def _smooth_combine(later, earlier):
     return E, g, L
 
 
-def smooth_parallel(F, c, Q, ms, Ps):
+def smooth_parallel(F, c, Q, ms, Ps, chunk=None):
     """Parallel-prefix RTS smoother over filtered moments (ms, Ps).
 
     Returns (ms_s, Ps_s); matches :func:`smooth_sequential` up to roundoff.
+    ``chunk`` bounds compile time for very long T.
     """
     T, n = ms.shape
 
@@ -199,5 +249,10 @@ def smooth_parallel(F, c, Q, ms, Ps):
     E = jnp.concatenate([E, jnp.zeros((1, n, n))], axis=0)
     g = jnp.concatenate([g, ms[-1:]], axis=0)
     L = jnp.concatenate([L, Ps[-1:]], axis=0)
-    E, g, L = lax.associative_scan(_smooth_combine, (E, g, L), reverse=True)
+    if chunk:
+        identity = (jnp.eye(n), jnp.zeros(n), jnp.zeros((n, n)))
+        E, g, L = _chunked_prefix_scan(
+            _smooth_combine, (E, g, L), identity, chunk, reverse=True)
+    else:
+        E, g, L = lax.associative_scan(_smooth_combine, (E, g, L), reverse=True)
     return g, L

@@ -132,3 +132,32 @@ class TestSmoother:
         err_f = np.mean((np.asarray(ms) - x) ** 2)
         err_s = np.mean((np.asarray(ms_s) - x) ** 2)
         assert err_s < err_f
+
+
+class TestChunkedScans:
+    """Chunked two-level scans == single associative scan (compile-time fix)."""
+
+    def test_chunked_filter_matches_unchunked(self):
+        args, _ = make_system(T=333, mask_frac=0.2, seed=3)
+        ms0, Ps0 = kalman.filter_parallel(*args)
+        for chunk in (64, 100, 512):  # non-divisible + chunk > T cases
+            ms1, Ps1 = kalman.filter_parallel(*args, chunk=chunk)
+            assert np.allclose(np.asarray(ms0), np.asarray(ms1), atol=1e-4)
+            assert np.allclose(np.asarray(Ps0), np.asarray(Ps1), atol=1e-4)
+
+    def test_chunked_smoother_matches_unchunked(self):
+        args, _ = make_system(T=257, mask_frac=0.1, seed=4)
+        F, c, Q = args[0], args[1], args[2]
+        ms, Ps = kalman.filter_parallel(*args)
+        ms0, Ps0 = kalman.smooth_parallel(F, c, Q, ms, Ps)
+        for chunk in (64, 129):
+            ms1, Ps1 = kalman.smooth_parallel(F, c, Q, ms, Ps, chunk=chunk)
+            assert np.allclose(np.asarray(ms0), np.asarray(ms1), atol=1e-4)
+            assert np.allclose(np.asarray(Ps0), np.asarray(Ps1), atol=1e-4)
+
+    def test_chunked_filter_matches_sequential_oracle(self):
+        args, _ = make_system(T=200, mask_frac=0.3, seed=5)
+        ref_m, ref_P = naive_filter(*_np(args))
+        ms, Ps = kalman.filter_parallel(*args, chunk=32)
+        assert np.allclose(np.asarray(ms), ref_m, atol=1e-3)
+        assert np.allclose(np.asarray(Ps), ref_P, atol=1e-3)
