@@ -290,7 +290,7 @@ class BayesianDecoder:
 
         def update(mu_pred, Sigma_pred, y_t, m_t):
             S = H @ Sigma_pred @ H.T + R
-            Kg = jnp.linalg.solve(S, H @ Sigma_pred).T        # (n, D)
+            Kg = kalman.solve_small(S, H @ Sigma_pred).T      # (n, D)
             mu_upd = mu_pred + Kg @ (y_t - H @ mu_pred)
             Sigma_upd = (I_n - Kg @ H) @ Sigma_pred
             mu_new = jnp.where(m_t > 0, mu_upd, mu_pred)
@@ -329,7 +329,7 @@ class BayesianDecoder:
             mu_f, Sigma_f, mu_p, Sigma_p, g_t = inp
             A_soft = jnp.einsum('k,kde->de', g_t, As)
             C = Sigma_f @ A_soft.T
-            G = jnp.linalg.solve(Sigma_p + 1e-6 * jnp.eye(n), C.T).T
+            G = kalman.solve_small(Sigma_p + 1e-6 * jnp.eye(n), C.T).T
             mu_s = mu_f + G @ (mu_next - mu_p)
             Sigma_s = Sigma_f + G @ (Sigma_next - Sigma_p) @ G.T
             return (mu_s, Sigma_s), (mu_s, Sigma_s)

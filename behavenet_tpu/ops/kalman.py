@@ -32,6 +32,35 @@ def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
+def solve_small(A, Y):
+    """Batched solve A @ X = Y for small (n, n) systems, n static.
+
+    Unrolled Gauss-Jordan elimination without pivoting: n static steps of
+    fully-vectorized row operations. XLA lowers ``jnp.linalg.solve`` on
+    batched small matrices to a generic LU pivot loop that runs ~8x slower
+    on TPU (measured 0.29 s vs 0.037 s for 100k 9x9 systems). No pivoting
+    is safe for the PD / `I + PSD@PSD` systems the Kalman recursions
+    produce (leading Schur complements stay well-conditioned); do not use
+    for general indefinite matrices.
+
+    A: (..., n, n); Y: (..., n, k) or a vector (..., n) whose batch dims
+    match A's (an unbatched square Y against batched A is ambiguous — pass
+    it pre-broadcast). Returns X shaped like the broadcast Y.
+    """
+    vec = Y.ndim == A.ndim - 1
+    if vec:
+        Y = Y[..., None]
+    n = A.shape[-1]
+    Y = jnp.broadcast_to(Y, A.shape[:-2] + Y.shape[-2:])
+    M = jnp.concatenate([A, Y], axis=-1)  # (..., n, n+k)
+    for i in range(n):
+        piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
+        M = M - M[..., :, i:i + 1] * piv
+        M = M.at[..., i, :].set(piv[..., 0, :])
+    X = M[..., :, n:]
+    return X[..., 0] if vec else X
+
+
 def _chunked_prefix_scan(combine, elems, identity, chunk, reverse=False):
     """Two-level prefix (suffix when ``reverse``) scan over pytree elements.
 
@@ -87,7 +116,7 @@ def filter_sequential(F, c, Q, H, R, y, mask, m0, P0):
 
     def update(m_p, P_p, y_t, msk):
         S = H @ P_p @ H.T + R
-        K = jnp.linalg.solve(S, H @ P_p).T  # (n, d)
+        K = solve_small(S, H @ P_p).T  # (n, d)
         m_u = m_p + K @ (y_t - H @ m_p)
         P_u = _sym(P_p - K @ H @ P_p)
         m_new = jnp.where(msk > 0, m_u, m_p)
@@ -114,11 +143,11 @@ def _filter_elements(F, c, Q, H, R, y, mask, m0, P0):
 
     def make_elem(F_t, c_t, Q_t, y_t, msk):
         S = H @ Q_t @ H.T + R                        # (d, d)
-        K = jnp.linalg.solve(S, H @ Q_t).T           # (n, d)
+        K = solve_small(S, H @ Q_t).T           # (n, d)
         A = F_t - K @ H @ F_t
         b = c_t + K @ (y_t - H @ c_t)
         C = _sym(Q_t - K @ H @ Q_t)
-        HS = jnp.linalg.solve(S, H @ F_t)            # S^{-1} H F  (d, n)
+        HS = solve_small(S, H @ F_t)            # S^{-1} H F  (d, n)
         eta = HS.T @ (y_t - H @ c_t)
         J = _sym(HS.T @ (H @ F_t))
         # masked step: pure prediction element
@@ -135,7 +164,7 @@ def _filter_elements(F, c, Q, H, R, y, mask, m0, P0):
     m_p0 = F[0] @ m0 + c[0]
     P_p0 = _sym(F[0] @ P0 @ F[0].T + Q[0])
     S0 = H @ P_p0 @ H.T + R
-    K0 = jnp.linalg.solve(S0, H @ P_p0).T
+    K0 = solve_small(S0, H @ P_p0).T
     b0_u = m_p0 + K0 @ (y[0] - H @ m_p0)
     C0_u = _sym(P_p0 - K0 @ H @ P_p0)
     b0 = jnp.where(mask[0] > 0, b0_u, m_p0)
@@ -155,7 +184,8 @@ def _filter_combine(e1, e2):
     n = A1.shape[-1]
     I = jnp.eye(n)
     # M = (I + C1 J2)^{-1}; N = (I + J2 C1)^{-1} = M^T (C, J symmetric)
-    M = jnp.linalg.solve(I + C1 @ J2, I)
+    lhs = I + C1 @ J2
+    M = solve_small(lhs, jnp.broadcast_to(I, lhs.shape))
     A = A2 @ M @ A1
     b = (A2 @ M @ (b1[..., None] + C1 @ eta2[..., None]))[..., 0] + b2
     C = _sym(A2 @ M @ C1 @ jnp.swapaxes(A2, -1, -2) + C2)
@@ -197,7 +227,7 @@ def smooth_sequential(F, c, Q, ms, Ps, m_pred, P_pred):
     def step(carry, inp):
         m_next, P_next = carry
         m_f, P_f, F_n, m_pn, P_pn = inp
-        G = jnp.linalg.solve(P_pn + 1e-8 * jnp.eye(n), F_n @ P_f).T
+        G = solve_small(P_pn + 1e-8 * jnp.eye(n), F_n @ P_f).T
         m_s = m_f + G @ (m_next - m_pn)
         P_s = _sym(P_f + G @ (P_next - P_pn) @ G.T)
         return (m_s, P_s), (m_s, P_s)
@@ -239,7 +269,7 @@ def smooth_parallel(F, c, Q, ms, Ps, chunk=None):
 
     def make_elem(m_f, P_f, F_n, c_n, Q_n):
         P_pred = _sym(F_n @ P_f @ F_n.T + Q_n)
-        E = jnp.linalg.solve(P_pred + 1e-8 * jnp.eye(n), F_n @ P_f).T
+        E = solve_small(P_pred + 1e-8 * jnp.eye(n), F_n @ P_f).T
         g = m_f - E @ (F_n @ m_f + c_n)
         L = _sym(P_f - E @ F_n @ P_f)
         return E, g, L
