@@ -24,41 +24,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from behavenet_tpu.ops.smallmat import solve_small
+
 __all__ = ['filter_sequential', 'filter_parallel',
            'smooth_sequential', 'smooth_parallel']
 
 
 def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
-
-
-def solve_small(A, Y):
-    """Batched solve A @ X = Y for small (n, n) systems, n static.
-
-    Unrolled Gauss-Jordan elimination without pivoting: n static steps of
-    fully-vectorized row operations. XLA lowers ``jnp.linalg.solve`` on
-    batched small matrices to a generic LU pivot loop that runs ~8x slower
-    on TPU (measured 0.29 s vs 0.037 s for 100k 9x9 systems). No pivoting
-    is safe for the PD / `I + PSD@PSD` systems the Kalman recursions
-    produce (leading Schur complements stay well-conditioned); do not use
-    for general indefinite matrices.
-
-    A: (..., n, n); Y: (..., n, k) or a vector (..., n) whose batch dims
-    match A's (an unbatched square Y against batched A is ambiguous — pass
-    it pre-broadcast). Returns X shaped like the broadcast Y.
-    """
-    vec = Y.ndim == A.ndim - 1
-    if vec:
-        Y = Y[..., None]
-    n = A.shape[-1]
-    Y = jnp.broadcast_to(Y, A.shape[:-2] + Y.shape[-2:])
-    M = jnp.concatenate([A, Y], axis=-1)  # (..., n, n+k)
-    for i in range(n):
-        piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
-        M = M - M[..., :, i:i + 1] * piv
-        M = M.at[..., i, :].set(piv[..., 0, :])
-    X = M[..., :, n:]
-    return X[..., 0] if vec else X
 
 
 def _chunked_prefix_scan(combine, elems, identity, chunk, reverse=False):

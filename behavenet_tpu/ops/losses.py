@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from behavenet_tpu.ops import smallmat
+
 __all__ = [
     'mse', 'gaussian_ll', 'gaussian_ll_to_mse', 'kl_div_to_std_normal',
     'index_code_mi', 'total_correlation', 'dimension_wise_kl_to_std_normal',
@@ -178,9 +180,10 @@ def gaussian_neg_log_prob(y_pred, y_true, cov, frame_mask=None):
     else:
         if frame_mask is not None:
             sigma = jnp.where(frame_mask[:, None, None] > 0, sigma, jnp.eye(d))
-        chol = jnp.linalg.cholesky(sigma)  # (B, d, d)
-        sol = jax.vmap(
-            lambda c, r: jax.scipy.linalg.solve_triangular(c, r, lower=True))(chol, diff)
+        # unrolled small-matrix factorization: XLA's batched cholesky /
+        # solve_triangular lower to per-panel loops ~8x slower on TPU
+        chol = smallmat.cholesky_small(sigma)  # (B, d, d)
+        sol = smallmat.solve_tril_small(chol, diff)
         maha = jnp.sum(sol ** 2, axis=1)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)
     nll = 0.5 * (d * LN2PI + logdet + maha)

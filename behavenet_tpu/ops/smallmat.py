@@ -1,0 +1,74 @@
+"""Unrolled batched linear algebra for small static-size matrices.
+
+XLA lowers ``jnp.linalg.solve`` / ``cholesky`` / ``solve_triangular`` on
+batched small matrices to generic pivot/panel loops that run ~8x slower on
+TPU than n static steps of fully vectorized row operations (measured
+0.29 s vs 0.037 s for 100k 9x9 solves). These helpers unroll the
+eliminations at trace time — use them whenever the matrix size is a small
+static model dimension (state dims, label counts), not for large or
+dynamically-shaped systems.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ['solve_small', 'cholesky_small', 'solve_tril_small']
+
+
+def solve_small(A, Y):
+    """Batched solve A @ X = Y for small (n, n) systems, n static.
+
+    Unrolled Gauss-Jordan elimination without pivoting. No pivoting is
+    safe for the PD / `I + PSD@PSD` systems the Kalman/Gaussian recursions
+    produce (leading Schur complements stay well-conditioned); do not use
+    for general indefinite matrices.
+
+    A: (..., n, n); Y: (..., n, k) or a vector (..., n) whose batch dims
+    match A's (an unbatched square Y against batched A is ambiguous — pass
+    it pre-broadcast). Returns X shaped like the broadcast Y.
+    """
+    vec = Y.ndim == A.ndim - 1
+    if vec:
+        Y = Y[..., None]
+    n = A.shape[-1]
+    Y = jnp.broadcast_to(Y, A.shape[:-2] + Y.shape[-2:])
+    M = jnp.concatenate([A, Y], axis=-1)  # (..., n, n+k)
+    for i in range(n):
+        piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
+        M = M - M[..., :, i:i + 1] * piv
+        M = M.at[..., i, :].set(piv[..., 0, :])
+    X = M[..., :, n:]
+    return X[..., 0] if vec else X
+
+
+def cholesky_small(A):
+    """Batched lower-Cholesky of small SPD (..., n, n), n static.
+
+    Column-by-column Cholesky-Banachiewicz unrolled at trace time.
+    """
+    n = A.shape[-1]
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        s = A[..., j, j]
+        if j:
+            s = s - jnp.sum(L[..., j, :j] ** 2, axis=-1)
+        ljj = jnp.sqrt(s)
+        L = L.at[..., j, j].set(ljj)
+        if j + 1 < n:
+            r = A[..., j + 1:, j]
+            if j:
+                r = r - jnp.einsum('...ik,...k->...i',
+                                   L[..., j + 1:, :j], L[..., j, :j])
+            L = L.at[..., j + 1:, j].set(r / ljj[..., None])
+    return L
+
+
+def solve_tril_small(L, b):
+    """Batched forward substitution L @ x = b, L (..., n, n) lower, b (..., n)."""
+    n = L.shape[-1]
+    xs = []
+    for i in range(n):
+        acc = b[..., i]
+        for j in range(i):
+            acc = acc - L[..., i, j] * xs[j]
+        xs.append(acc / L[..., i, i])
+    return jnp.stack(xs, axis=-1)
