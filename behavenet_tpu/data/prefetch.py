@@ -9,28 +9,44 @@ real-world trial sizes.
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 __all__ = ['prefetched']
 
 _SENTINEL = object()
 
 
-def prefetched(next_fn, n_batches, depth=2):
+def prefetched(next_fn, n_batches, depth=2, stage_fn=None, workers=1):
     """Yield ``next_fn()`` results for ``n_batches`` calls, produced ahead of time.
 
     ``next_fn`` is called sequentially from a single producer thread, so any
     RNG-stream the underlying generator consumes is unchanged. Exceptions in
     the producer are re-raised at the consuming site.
+
+    ``stage_fn`` optionally post-processes each produced item (typically the
+    host->device transfer). With ``workers > 1`` the stage calls run in a
+    thread pool so several transfers are in flight at once — delivery order
+    is still exactly the producer order (futures are consumed in sequence).
+    Keep the order-sensitive generator pull in ``next_fn`` and only the
+    order-free staging in ``stage_fn``.
     """
     if n_batches <= 0:
         return
-    q = queue.Queue(maxsize=depth)
+    q = queue.Queue(maxsize=max(depth, workers))
     err = []
+    pool = ThreadPoolExecutor(max_workers=workers) if (
+        stage_fn is not None and workers > 1) else None
 
     def produce():
         try:
             for _ in range(n_batches):
-                q.put(next_fn())
+                item = next_fn()
+                if pool is not None:
+                    q.put(pool.submit(stage_fn, item))
+                elif stage_fn is not None:
+                    q.put(stage_fn(item))
+                else:
+                    q.put(item)
         except BaseException as e:  # re-raised in consumer
             err.append(e)
         finally:
@@ -38,11 +54,15 @@ def prefetched(next_fn, n_batches, depth=2):
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item.result() if pool is not None else item
+    finally:
+        t.join()
+        if pool is not None:
+            pool.shutdown(wait=False)
     if err:
         raise err[0]

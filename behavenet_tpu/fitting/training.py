@@ -403,10 +403,28 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
         t_epoch = _time.perf_counter()
         n_frames_epoch = 0
         from behavenet_tpu.data.prefetch import prefetched
+        # prefetch_workers > 1 moves collation + the host->device transfer
+        # into a thread pool (order-preserving) so several uploads are in
+        # flight — useful when storage or the host->device link is slow
+        # relative to the step time. Default 1 keeps today's exact behavior.
+        pf_workers = int(hparams.get('prefetch_workers', 1))
+        pf_stage = None
+        if pf_workers > 1:
+            def pf_stage(item):
+                data_s, dataset_s = item
+                if data_s is None:
+                    return data_s, dataset_s, None
+                pre = _collate(data_s, dataset_s, model_class, hparams)
+                if multi_step is not None:
+                    # spd>1 restacks batches host-side before dispatch: keep
+                    # the collated batch in numpy (no early device_put)
+                    return data_s, dataset_s, pre
+                return data_s, dataset_s, (jax.device_put(pre[0]),) + pre[1:]
         train_iter = prefetched(
             lambda: data_generator.next_batch('train'),
             data_generator.n_tot_batches['train'],
-            depth=int(hparams.get('prefetch_depth', 2)))
+            depth=int(hparams.get('prefetch_depth', 2)),
+            stage_fn=pf_stage, workers=pf_workers)
         # dispatch buffer for steps_per_dispatch > 1: consecutive train
         # batches with identical (dataset, shapes) stack into one scanned
         # device call; partial groups run through the single-step path so
@@ -436,18 +454,21 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
                     logger.update_metrics('train', m, dataset=d)
             pending = []
 
-        for i_train, (data, dataset) in enumerate(train_iter):
+        for i_train, item in enumerate(train_iter):
+            data, dataset = item[0], item[1]
+            pre = item[2] if len(item) > 2 else None
             will_log = (i_train + 1) % data_generator.n_tot_batches['train'] == 0
             will_val = np.any(
                 (i_train + 1) + i_epoch * data_generator.n_tot_batches['train']
                 == val_check_batch)
             if data is not None:
-                batch, ds, seg_lens, _ = _collate(data, dataset, model_class, hparams)
+                batch, ds, seg_lens, _ = pre if pre is not None else \
+                    _collate(data, dataset, model_class, hparams)
                 ds_idx = 0 if isinstance(ds, list) else ds
                 key, sub = jax.random.split(key)
                 if i_epoch > 0 and multi_step is not None and seg_lens is None:
                     sig = (ds_idx, tuple(sorted(
-                        (k, np.asarray(v).shape, str(np.asarray(v).dtype))
+                        (k, tuple(v.shape), str(v.dtype))
                         for k, v in batch.items())))
                     if pending and sig != pending_sig:
                         flush_pending()

@@ -124,6 +124,24 @@ class TestResume:
             assert str(ka) == str(kb)
             assert np.allclose(np.asarray(va), np.asarray(vb), atol=1e-5), str(ka)
 
+    def test_prefetch_workers_match_single_worker_fit(self, tmpdir, setup):
+        """Parallel-staged prefetch (collate+device_put in a pool) delivers
+        batches in producer order, so training is bit-for-bit unchanged."""
+        finals = []
+        for tag, workers in (('w1', 1), ('w4', 4)):
+            expt = str(tmpdir.join('expt_pf_%s' % tag))
+            hp, model, gen = setup(expt, max_n_epochs=3)
+            hp['prefetch_workers'] = workers
+            exp = Experiment('x', expt)
+            hp['expt_dir'] = os.path.join(expt, 'x')
+            fit(hp, model, gen, exp, method='ae')
+            finals.append(_final_params(hp['expt_dir'], 0))
+        flat = [sorted(jax.tree_util.tree_leaves_with_path(p),
+                       key=lambda kv: str(kv[0])) for p in finals]
+        for (ka, va), (kb, vb) in zip(*flat):
+            assert str(ka) == str(kb)
+            assert np.allclose(np.asarray(va), np.asarray(vb), atol=1e-6), str(ka)
+
     def test_checkpoint_contents(self, tmpdir, setup):
         expt = str(tmpdir.join('expt'))
         hp, model, gen = setup(expt, max_n_epochs=1)
