@@ -20,6 +20,8 @@ Conventions
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+from behavenet_tpu.ops.scans import chunked_prefix_scan
 from jax.scipy.special import logsumexp
 
 __all__ = ['forward', 'forward_parallel', 'backward', 'backward_parallel',
@@ -82,8 +84,8 @@ def backward_parallel(log_P, log_lik, mask=None):
 
     # want suffix[t] = M_t (x) ... (x) M_{T-2}; a reverse scan composes in the
     # opposite order, so scan the transposes: (A (x) B)^T = B^T (x) A^T
-    suffix_T = jax.lax.associative_scan(
-        _log_matmul, jnp.swapaxes(Ms, 1, 2), reverse=True)  # (T-1, K, K)
+    suffix_T = _prefix(
+        _log_matmul, jnp.swapaxes(Ms, 1, 2), identity, reverse=True)  # (T-1, K, K)
     betas = logsumexp(jnp.swapaxes(suffix_T, 1, 2), axis=2)  # beta_t, t=0..T-2
     log_beta = jnp.concatenate([betas, jnp.zeros((1, K), dtype=log_lik.dtype)], axis=0)
     return log_beta
@@ -242,7 +244,7 @@ def viterbi_parallel(log_pi0, log_P, log_lik, mask=None):
     identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
     Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
 
-    prefix = jax.lax.associative_scan(_maxplus_matmul, Ms)  # (T-1, K, K)
+    prefix = _prefix(_maxplus_matmul, Ms, identity)  # (T-1, K, K)
     delta0 = log_pi0 + log_lik[0] * mask[0]
     deltas = jnp.max(delta0[None, :, None] + prefix, axis=1)  # (T-1, K)
     delta = jnp.concatenate([delta0[None], deltas], axis=0)   # (T, K)
@@ -289,6 +291,18 @@ def sample_states(key, log_pi0, log_P, T):
 # matmul. Worth it for long trials (reference NP dataset: 1000-frame
 # trials, docs/source/data_structure.rst:27).
 
+# very long chains: one monolithic associative_scan program is slow for
+# XLA to compile (see ops/scans.py); chunk transparently past this length
+_CHUNK_ABOVE = 16384
+_CHUNK = 8192
+
+
+def _prefix(combine, Ms, identity, reverse=False):
+    if Ms.shape[0] > _CHUNK_ABOVE:
+        return chunked_prefix_scan(combine, Ms, identity, _CHUNK, reverse=reverse)
+    return jax.lax.associative_scan(combine, Ms, reverse=reverse)
+
+
 def _log_matmul(A, B):
     """(..., K, K) log-space matrix product: logsumexp_k A[.., i, k] + B[.., k, j].
 
@@ -325,7 +339,7 @@ def forward_parallel(log_pi0, log_P, log_lik, mask=None):
     identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
     Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
 
-    prefix = jax.lax.associative_scan(_log_matmul, Ms)  # (T-1, K, K)
+    prefix = _prefix(_log_matmul, Ms, identity)  # (T-1, K, K)
 
     alpha0 = log_pi0 + log_lik[0] * mask[0]
     alphas = logsumexp(alpha0[None, :, None] + prefix, axis=1)  # (T-1, K)

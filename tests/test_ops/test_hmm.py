@@ -261,3 +261,29 @@ class TestLongSequenceStability:
         assert np.isfinite(g).all()
         assert np.allclose(g.sum(axis=1), 1.0, atol=1e-3)
         assert np.isfinite(np.asarray(xi_sum)).all()
+
+
+class TestChunkedParallel:
+    """Auto-chunked parallel passes == unchunked (compile-time fix path)."""
+
+    def test_chunked_matches_sequential(self, monkeypatch):
+        from behavenet_tpu.ops import hmm as hmm_ops
+        monkeypatch.setattr(hmm_ops, '_CHUNK_ABOVE', 16)
+        monkeypatch.setattr(hmm_ops, '_CHUNK', 8)
+        rng = np.random.RandomState(0)
+        T, K = 83, 4
+        log_pi0 = jnp.log(jnp.ones(K) / K)
+        log_P = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+        ll = jnp.asarray(rng.randn(T, K).astype(np.float32))
+        mask = jnp.asarray(
+            np.concatenate([[1.0], (rng.rand(T - 1) > 0.1)]).astype(np.float32))
+        a_par, z_par = hmm_ops.forward_parallel(log_pi0, log_P, ll, mask)
+        a_seq, z_seq = hmm_ops.forward(log_pi0, log_P, ll, mask)
+        assert np.allclose(float(z_par), float(z_seq), atol=1e-3)
+        assert np.allclose(np.asarray(a_par), np.asarray(a_seq), atol=1e-3)
+        b_par = hmm_ops.backward_parallel(log_P, ll, mask)
+        b_seq = hmm_ops.backward(log_P, ll, mask)
+        assert np.allclose(np.asarray(b_par), np.asarray(b_seq), atol=1e-3)
+        v_par = hmm_ops.viterbi_parallel(log_pi0, log_P, ll, mask)
+        v_seq = hmm_ops.viterbi(log_pi0, log_P, ll, mask)
+        assert (np.asarray(v_par) == np.asarray(v_seq)).all()
