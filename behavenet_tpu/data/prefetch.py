@@ -32,25 +32,41 @@ def prefetched(next_fn, n_batches, depth=2, stage_fn=None, workers=1):
     """
     if n_batches <= 0:
         return
-    q = queue.Queue(maxsize=max(depth, workers))
+    # depth=0 keeps its historical meaning: unbounded read-ahead
+    q = queue.Queue(maxsize=0 if depth == 0 else max(depth, workers))
     err = []
+    stop = threading.Event()
     pool = ThreadPoolExecutor(max_workers=workers) if (
         stage_fn is not None and workers > 1) else None
+
+    def put(item):
+        # bounded put that aborts if the consumer went away, so an early
+        # consumer exit (exception / generator close) can never deadlock
+        # against a producer blocked on a full queue
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for _ in range(n_batches):
+                if stop.is_set():
+                    return
                 item = next_fn()
                 if pool is not None:
-                    q.put(pool.submit(stage_fn, item))
+                    item = pool.submit(stage_fn, item)
                 elif stage_fn is not None:
-                    q.put(stage_fn(item))
-                else:
-                    q.put(item)
+                    item = stage_fn(item)
+                if not put(item):
+                    return
         except BaseException as e:  # re-raised in consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            put(_SENTINEL)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
@@ -61,7 +77,13 @@ def prefetched(next_fn, n_batches, depth=2, stage_fn=None, workers=1):
                 break
             yield item.result() if pool is not None else item
     finally:
-        t.join()
+        stop.set()
+        while t.is_alive():
+            try:  # drain so a blocked put can complete
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.1)
         if pool is not None:
             pool.shutdown(wait=False)
     if err:

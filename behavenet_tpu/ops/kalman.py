@@ -114,9 +114,11 @@ def _filter_combine(e1, e2):
     A2, b2, C2, eta2, J2 = e2
     n = A1.shape[-1]
     I = jnp.eye(n)
-    # M = (I + C1 J2)^{-1}; N = (I + J2 C1)^{-1} = M^T (C, J symmetric)
+    # M = (I + C1 J2)^{-1}; N = (I + J2 C1)^{-1} = M^T (C, J symmetric).
+    # The lhs is nonsymmetric (invertible since eig(C1 J2) >= 0, but its
+    # leading minors are not guaranteed nonsingular) -> pivoted solve.
     lhs = I + C1 @ J2
-    M = solve_small(lhs, jnp.broadcast_to(I, lhs.shape))
+    M = solve_small(lhs, jnp.broadcast_to(I, lhs.shape), pivot=True)
     A = A2 @ M @ A1
     b = (A2 @ M @ (b1[..., None] + C1 @ eta2[..., None]))[..., 0] + b2
     C = _sym(A2 @ M @ C1 @ jnp.swapaxes(A2, -1, -2) + C2)

@@ -14,13 +14,14 @@ import jax.numpy as jnp
 __all__ = ['solve_small', 'cholesky_small', 'solve_tril_small']
 
 
-def solve_small(A, Y):
+def solve_small(A, Y, pivot=False):
     """Batched solve A @ X = Y for small (n, n) systems, n static.
 
-    Unrolled Gauss-Jordan elimination without pivoting. No pivoting is
-    safe for the PD / `I + PSD@PSD` systems the Kalman/Gaussian recursions
-    produce (leading Schur complements stay well-conditioned); do not use
-    for general indefinite matrices.
+    Unrolled Gauss-Jordan elimination. Without pivoting (default), safe for
+    SPD systems and others whose leading Schur complements stay
+    well-conditioned; ``pivot=True`` adds vectorized partial (row)
+    pivoting for general nonsingular matrices at ~2x the cost — still far
+    cheaper than XLA's generic batched LU loop.
 
     A: (..., n, n); Y: (..., n, k) or a vector (..., n) whose batch dims
     match A's (an unbatched square Y against batched A is ambiguous — pass
@@ -32,7 +33,16 @@ def solve_small(A, Y):
     n = A.shape[-1]
     Y = jnp.broadcast_to(Y, A.shape[:-2] + Y.shape[-2:])
     M = jnp.concatenate([A, Y], axis=-1)  # (..., n, n+k)
+    ar = jnp.arange(n)
     for i in range(n):
+        if pivot:
+            # swap row i with the max-|entry| eligible row of column i.
+            # Gauss-Jordan reduces the A-part to the identity, so the
+            # solution block needs no unpermutation afterwards.
+            col = jnp.where(ar >= i, jnp.abs(M[..., :, i]), -jnp.inf)
+            p = jnp.argmax(col, axis=-1)[..., None]        # (..., 1)
+            idx = jnp.where(ar == i, p, jnp.where(ar == p, i, ar))
+            M = jnp.take_along_axis(M, idx[..., None], axis=-2)
         piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
         M = M - M[..., :, i:i + 1] * piv
         M = M.at[..., i, :].set(piv[..., 0, :])

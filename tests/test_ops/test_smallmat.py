@@ -56,3 +56,23 @@ class TestCholeskySmall:
         x = smallmat.solve_tril_small(L, b)
         recon = jnp.einsum('bij,bj->bi', L, x)
         assert np.allclose(np.asarray(recon), np.asarray(b), atol=1e-3)
+
+
+class TestPivotedSolve:
+
+    def test_zero_leading_pivot(self):
+        """pivot=True handles matrices whose leading minor is singular."""
+        A = jnp.asarray(np.array([[[0.0, 1.0], [1.0, 0.0]],
+                                  [[0.0, 2.0], [3.0, 1.0]]], dtype=np.float32))
+        Y = jnp.asarray(np.array([[[1.0], [2.0]], [[4.0], [5.0]]], dtype=np.float32))
+        X = smallmat.solve_small(A, Y, pivot=True)
+        ref = jnp.linalg.solve(A, Y)
+        assert np.allclose(np.asarray(X), np.asarray(ref), atol=1e-5)
+
+    def test_pivoted_matches_general_random(self):
+        rng = np.random.RandomState(7)
+        A = jnp.asarray(rng.randn(50, 6, 6).astype(np.float32))
+        Y = jnp.asarray(rng.randn(50, 6, 2).astype(np.float32))
+        X = smallmat.solve_small(A, Y, pivot=True)
+        ref = jnp.linalg.solve(A, Y)
+        assert np.allclose(np.asarray(X), np.asarray(ref), atol=1e-2, rtol=1e-3)
