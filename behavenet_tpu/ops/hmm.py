@@ -257,12 +257,19 @@ def viterbi_parallel(log_pi0, log_P, log_lik, mask=None):
 
     z_T = jnp.argmax(delta[-1]).astype(jnp.int32)
 
-    def back(carry, ptrs_t):
-        z_next = carry
-        z = ptrs_t[z_next]
-        return z, z
+    # backtrace by pointer doubling: z_t = psi_t[z_{t+1}] composes the
+    # backpointer maps, so the suffix compositions C_t = psi_t o C_{t+1}
+    # (an associative suffix scan over K-vectors of indices) give every
+    # z_t = C_t[z_T] at O(log T) depth instead of a T-step scan — the
+    # sequential backtrace dominated Viterbi wall time at T~100k
+    def _compose(later, earlier):
+        # suffix-scan convention: first arg is the accumulated later
+        # suffix S, second the earlier element e; (e o S)[k] = e[S[k]]
+        return jnp.take_along_axis(earlier, later, axis=-1)
 
-    _, zs = lax.scan(back, z_T, psi, reverse=True)
+    comp = _prefix(_compose, psi, jnp.arange(K, dtype=jnp.int32),
+                   reverse=True)                              # (T-1, K)
+    zs = comp[:, z_T]
     return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
 
 

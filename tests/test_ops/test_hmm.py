@@ -287,3 +287,24 @@ class TestChunkedParallel:
         v_par = hmm_ops.viterbi_parallel(log_pi0, log_P, ll, mask)
         v_seq = hmm_ops.viterbi(log_pi0, log_P, ll, mask)
         assert (np.asarray(v_par) == np.asarray(v_seq)).all()
+
+    def test_parallel_backtrace_self_consistent(self):
+        """Pointer-doubling backtrace satisfies z[t] == psi[t][z[t+1]] for
+        its own backpointers (exactly the sequential backtrace's output)."""
+        from behavenet_tpu.ops import hmm as hmm_ops
+        rng = np.random.RandomState(2)
+        T, K = 700, 5
+        log_pi0 = jnp.log(jnp.ones(K) / K)
+        log_P = jnp.asarray(np.log(rng.dirichlet(np.ones(K), size=K)), jnp.float32)
+        ll = jnp.asarray(rng.randn(T, K).astype(np.float32))
+        lp = jnp.broadcast_to(log_P[None], (T - 1, K, K))
+        Ms = lp + ll[1:, None, :]
+        identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
+        prefix = hmm_ops._prefix(hmm_ops._maxplus_matmul, Ms, identity)
+        delta0 = log_pi0 + ll[0]
+        deltas = jnp.max(delta0[None, :, None] + prefix, axis=1)
+        delta = jnp.concatenate([delta0[None], deltas], axis=0)
+        psi = np.asarray(jnp.argmax(delta[:-1, :, None] + lp, axis=1))
+        z = np.asarray(hmm_ops.viterbi_parallel(log_pi0, log_P, ll))
+        assert z[-1] == int(np.argmax(np.asarray(delta)[-1]))
+        assert all(z[t] == psi[t][z[t + 1]] for t in range(T - 1))
