@@ -38,6 +38,7 @@ import numpy as np
 from jax.scipy.special import gammaln
 
 from behavenet_tpu.ops import hmm as hmm_ops
+from behavenet_tpu.ops import smallmat
 
 __all__ = ['ARHMM']
 
@@ -471,7 +472,8 @@ class ARHMM:
         s = 1.0 / jnp.sqrt(jnp.clip(
             jnp.diagonal(XtWX, axis1=1, axis2=2), 1e-8))  # (K, P)
         A = XtWX * s[:, :, None] * s[:, None, :] + 1e-5 * jnp.eye(Pdim)[None]
-        beta = s[:, :, None] * jnp.linalg.solve(A, XtWY * s[:, :, None])  # (K, P, D)
+        # equilibrated + ridged -> SPD: pivot-free unrolled solve is safe
+        beta = s[:, :, None] * smallmat.solve_small(A, XtWY * s[:, :, None])  # (K, P, D)
         if lags > 0:
             new['As'] = jnp.transpose(beta[:, :-1, :], (0, 2, 1))  # (K, D, D*lags)
         new['bs'] = beta[:, -1, :]
