@@ -32,12 +32,19 @@ def prefetched(next_fn, n_batches, depth=2, stage_fn=None, workers=1):
     """
     if n_batches <= 0:
         return
-    # depth=0 keeps its historical meaning: unbounded read-ahead
-    q = queue.Queue(maxsize=0 if depth == 0 else max(depth, workers))
     err = []
     stop = threading.Event()
     pool = ThreadPoolExecutor(max_workers=workers) if (
         stage_fn is not None and workers > 1) else None
+    # depth=0 keeps its historical meaning: unbounded read-ahead — except
+    # with pooled staging, where an unbounded queue would submit the whole
+    # epoch's transfers eagerly (device-memory hazard); there the queue
+    # bounds the number of stage calls in flight instead
+    if depth == 0:
+        maxsize = workers if pool is not None else 0
+    else:
+        maxsize = max(depth, workers)
+    q = queue.Queue(maxsize=maxsize)
 
     def put(item):
         # bounded put that aborts if the consumer went away, so an early
@@ -85,6 +92,6 @@ def prefetched(next_fn, n_batches, depth=2, stage_fn=None, workers=1):
                 pass
             t.join(timeout=0.1)
         if pool is not None:
-            pool.shutdown(wait=False)
+            pool.shutdown(wait=False, cancel_futures=True)
     if err:
         raise err[0]

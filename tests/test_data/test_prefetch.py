@@ -32,7 +32,9 @@ class TestOrdering:
 
         gen = prefetched(next_fn, 30, depth=0)
         first = next(gen)
-        time.sleep(0.3)  # producer should finish all 30 unprompted
+        deadline = time.time() + 5.0  # producer should finish all 30 unprompted
+        while len(produced) < 30 and time.time() < deadline:
+            time.sleep(0.02)
         assert len(produced) == 30
         assert [first] + list(gen) == list(range(30))
 
