@@ -154,18 +154,52 @@ def _normalize_images(batch):
     return out
 
 
+_STATE_LEAVES = ('running_mean', 'running_var', 'num_batches')
+
+
+def merge_state(params, state):
+    """Recursively overwrite ``params`` leaves with ``state`` leaves.
+
+    ``state`` is a sparse mirror of the params tree (e.g. BatchNorm running
+    statistics emitted by a train step under the '_state' metrics key);
+    leaves not present in ``state`` are kept from ``params``.
+    """
+    out = dict(params)
+    for k, v in state.items():
+        if isinstance(v, dict) and isinstance(params.get(k), dict):
+            out[k] = merge_state(params[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def make_train_functions(model, hparams):
     """Build (optimizer, jitted train_step, jitted eval_step) for a model."""
     lr = hparams['learning_rate']
     wd = hparams.get('l2_reg', 0) or 0
+    # models with BN running statistics (has_state) emit updated stats in
+    # the aux metrics under '_state'; the train step merges them into
+    # params after the optimizer update (they receive zero gradient so the
+    # Adam step leaves them untouched)
+    has_state = bool(getattr(model, 'has_state', False))
 
     chain = []
     if wd > 0:
         if hasattr(model, 'trainable_mask'):
-            mask_fn = model.trainable_mask
+            base_mask_fn = model.trainable_mask
         else:
-            def mask_fn(params):
+            def base_mask_fn(params):
                 return jax.tree_util.tree_map(lambda _: True, params)
+
+        def mask_fn(params):
+            # never weight-decay non-trainable state (BN running stats)
+            mask = base_mask_fn(params)
+
+            def fix(path, m):
+                last = path[-1]
+                name = last.key if isinstance(last, jax.tree_util.DictKey) else None
+                return False if name in _STATE_LEAVES else m
+            return jax.tree_util.tree_map_with_path(fix, mask)
         # torch Adam weight_decay semantics: l2 added to gradients *before*
         # the moment updates (reference training.py:284-286)
         chain.append(optax.add_decayed_weights(wd, mask=mask_fn))
@@ -175,12 +209,17 @@ def make_train_functions(model, hparams):
     def train_step(params, opt_state, rng, batch, loss_kwargs, dataset, seg_lens):
         batch = _normalize_images(batch)
         extra = {} if seg_lens is None else {'seg_lens': seg_lens}
+        if has_state:
+            extra['train'] = True
 
         def lf(p):
             return model.loss_fn(p, batch, rng, dataset=dataset, **extra, **loss_kwargs)
         (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        state = metrics.pop('_state', None)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if state is not None:
+            params = merge_state(params, state)
         return params, opt_state, metrics
 
     def eval_step(params, rng, batch, loss_kwargs, dataset, seg_lens):
@@ -204,17 +243,23 @@ def make_multi_step(model, hparams, tx):
     stack must share shapes (length bucketing makes this the common case).
     """
 
+    has_state = bool(getattr(model, 'has_state', False))
+
     def multi_step(params, opt_state, rngs, batch_stack, loss_kwargs, dataset):
         def body(carry, inp):
             params, opt_state = carry
             rng, batch = inp
             batch = _normalize_images(batch)
+            extra = {'train': True} if has_state else {}
 
             def lf(p):
-                return model.loss_fn(p, batch, rng, dataset=dataset, **loss_kwargs)
+                return model.loss_fn(p, batch, rng, dataset=dataset, **extra, **loss_kwargs)
             (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            state = metrics.pop('_state', None)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if state is not None:
+                params = merge_state(params, state)
             return (params, opt_state), metrics
 
         (params, opt_state), metrics = jax.lax.scan(
@@ -249,7 +294,13 @@ def _bucket_batch(batch, bucket):
 
 
 def _collate(data, dataset, model_class, hparams):
-    """Turn generator output into (batch, dataset_idx, seg_lens, trial_idx)."""
+    """Turn generator output into (batch, dataset_idx, seg_lens, trial_idx).
+
+    MUST remain deterministic and thread-safe (no global numpy RNG, no
+    shared mutable state): with ``prefetch_workers > 1`` the prefetch stage
+    invokes it concurrently from pool threads, and bit-for-bit training /
+    exact resume depend on every call being a pure function of its inputs.
+    """
     if isinstance(data, list):
         # multi-session batch (MSPS-VAE): dataset-major concatenation of
         # per-session segments. Each segment buckets independently (padded

@@ -48,6 +48,35 @@ def r2_score_vw(y_true, y_pred, weights=None):
     return 1.0 - ss_res / jnp.maximum(ss_tot, 1e-12)
 
 
+def _init_bn(spec):
+    """BN params: trainable affine + (if tracking) non-trainable running stats."""
+    p = {'gamma': jnp.ones((spec['ch'],)), 'beta': jnp.zeros((spec['ch'],))}
+    if spec.get('track', False):
+        p['running_mean'] = jnp.zeros((spec['ch'],))
+        p['running_var'] = jnp.ones((spec['ch'],))
+        # float (not int) so the params pytree stays differentiable
+        p['num_batches'] = jnp.zeros(())
+    return p
+
+
+def _apply_bn(x, params, spec, train, stats_out):
+    """One BN layer with torch train/eval + running-stat semantics.
+
+    Train mode (or ``track_running_stats=False``): batch statistics; if
+    tracking, the updated running stats are recorded into ``stats_out`` for
+    the trainer to merge post-step. Eval mode with tracking: running stats.
+    """
+    p = params[spec['name']]
+    track = spec.get('track', False) and 'running_mean' in p
+    if train or not track:
+        if train and track and stats_out is not None:
+            stats_out[spec['name']] = ops.batch_norm_update(
+                x, p, momentum=spec.get('momentum', 0.1))
+        return ops.batch_norm(x, p['gamma'], p['beta'])
+    return ops.batch_norm(x, p['gamma'], p['beta'],
+                          mean=p['running_mean'], var=p['running_var'])
+
+
 class ConvEncoder:
     """Conv encoder built from an architecture dict (reference aes.py:17-218)."""
 
@@ -90,10 +119,14 @@ class ConvEncoder:
             }
             self.layers.append(spec)
             if hparams.get('ae_batch_norm'):
-                # batch-statistics BN (track_running_stats=False semantics)
+                # torch BatchNorm2d semantics incl. running statistics
+                # (reference aes.py:92-95: momentum + track_running_stats
+                # hparams with defaults 0.1 / True)
                 self.layers.append({
                     'type': 'bn', 'name': 'bn_%d' % i,
-                    'ch': int(hparams['ae_encoding_n_channels'][i])})
+                    'ch': int(hparams['ae_encoding_n_channels'][i]),
+                    'momentum': hparams.get('ae_batch_norm_momentum', 0.1),
+                    'track': bool(hparams.get('track_running_stats', True))})
             if i < n - 1 and layer_types[i + 1] == 'maxpool':
                 self.layers.append({
                     'type': 'maxpool',
@@ -113,8 +146,7 @@ class ConvEncoder:
         keys = jax.random.split(key, len(self.layers) + 2)
         for spec, k in zip(self.layers, keys):
             if spec['type'] == 'bn':
-                params[spec['name']] = {
-                    'gamma': jnp.ones((spec['ch'],)), 'beta': jnp.zeros((spec['ch'],))}
+                params[spec['name']] = _init_bn(spec)
                 continue
             if spec['type'] != 'conv':
                 continue
@@ -132,8 +164,13 @@ class ConvEncoder:
             params['logvar'] = base.init_linear(keys[-1], self.fc_in, self.n_latents)
         return params
 
-    def apply(self, params, x, dataset=0):
-        """x: (N, H, W, C) -> (latents[, logvar], pool_idx list)."""
+    def apply(self, params, x, dataset=0, train=False, stats_out=None):
+        """x: (N, H, W, C) -> (latents[, logvar], pool_idx list).
+
+        ``train`` selects BN batch-vs-running statistics; with
+        ``stats_out`` (a dict) the updated running stats are recorded
+        per BN layer for the trainer to merge after the optimizer step.
+        """
         pool_idx = []
         for spec in self.layers:
             if spec['type'] == 'conv':
@@ -148,8 +185,7 @@ class ConvEncoder:
                 x, idx = ops.max_pool2d_with_indices(x, ceil_mode=spec['ceil'])
                 pool_idx.append(idx)
             elif spec['type'] == 'bn':
-                p = params[spec['name']]
-                x = ops.batch_norm(x, p['gamma'], p['beta'])
+                x = _apply_bn(x, params, spec, train, stats_out)
             else:
                 x = ops.leaky_relu(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
@@ -231,7 +267,9 @@ class ConvDecoder:
             if hparams.get('ae_batch_norm') and not is_last:
                 self.layers.append({
                     'type': 'bn', 'name': 'bn_%d' % i,
-                    'ch': int(hparams['ae_decoding_n_channels'][i])})
+                    'ch': int(hparams['ae_decoding_n_channels'][i]),
+                    'momentum': hparams.get('ae_batch_norm_momentum', 0.1),
+                    'track': bool(hparams.get('track_running_stats', True))})
             self.layers.append({'type': 'sigmoid' if is_last else 'relu'})
 
         if self.last_ff:
@@ -251,8 +289,7 @@ class ConvDecoder:
             keys[-1], self.hidden_layer_size, int(np.prod(self.starting_dim)))
         for spec, k in zip(self.layers, keys):
             if spec['type'] == 'bn':
-                params[spec['name']] = {
-                    'gamma': jnp.ones((spec['ch'],)), 'beta': jnp.zeros((spec['ch'],))}
+                params[spec['name']] = _init_bn(spec)
                 continue
             if spec['type'] == 'convtranspose':
                 if spec['sess_io']:
@@ -269,7 +306,7 @@ class ConvDecoder:
                     k, self.ff_in, int(np.prod(self.ff_out_dim)))
         return params
 
-    def apply(self, params, z, pool_idx=None, dataset=0):
+    def apply(self, params, z, pool_idx=None, dataset=0, train=False, stats_out=None):
         """z: (N, hidden) -> (N, H, W, C) reconstruction."""
         x = ops.linear(z, params['fc']['w'], params['fc']['b'])
         c, h, w = self.starting_dim
@@ -288,8 +325,7 @@ class ConvDecoder:
                 idx = pool_stack.pop(-1)
                 x = ops.max_unpool2d(x, idx, spec['out_hw'])
             elif spec['type'] == 'bn':
-                p = params[spec['name']]
-                x = ops.batch_norm(x, p['gamma'], p['beta'])
+                x = _apply_bn(x, params, spec, train, stats_out)
             elif spec['type'] == 'relu':
                 x = ops.leaky_relu(x)
             elif spec['type'] == 'sigmoid':
@@ -358,6 +394,29 @@ class AE(base.BaseModel):
         self.model_type = hparams['model_type']
         self.img_size = (hparams['n_input_channels'], hparams['y_pixels'], hparams['x_pixels'])
         self.build_model()
+        # BN running statistics are non-gradient state the train step must
+        # merge into params after the optimizer update (reference
+        # aes.py:92-95: track_running_stats defaults on)
+        self.has_state = bool(self.hparams.get('ae_batch_norm')) and \
+            bool(self.hparams.get('track_running_stats', True)) and \
+            self.model_type == 'conv'
+
+    def _bn_stats(self, train):
+        """Fresh stats_out dict when this step must record BN running stats."""
+        return {} if (train and getattr(self, 'has_state', False)) else None
+
+    @staticmethod
+    def _sub_stats(stats_out, key):
+        return None if stats_out is None else stats_out.setdefault(key, {})
+
+    @staticmethod
+    def _attach_state(metrics, stats):
+        """Move recorded BN stats into the aux metrics under '_state'."""
+        if stats:
+            st = {k: v for k, v in stats.items() if v}
+            if st:
+                metrics['_state'] = st
+        return metrics
 
     def build_model(self):
         self.hparams['hidden_layer_size'] = self.hparams['n_ae_latents']
@@ -383,23 +442,28 @@ class AE(base.BaseModel):
             z = self.encoding.apply(params['encoder'], x)
         return z
 
-    def forward(self, params, x, dataset=0, **kwargs):
+    def forward(self, params, x, dataset=0, train=False, stats_out=None, **kwargs):
         """Returns (reconstruction, latents)."""
         if self.model_type == 'conv':
-            z, pool_idx = self.encoding.apply(params['encoder'], x, dataset=dataset)
-            y = self.decoding.apply(params['decoder'], z, pool_idx, dataset=dataset)
+            z, pool_idx = self.encoding.apply(
+                params['encoder'], x, dataset=dataset, train=train,
+                stats_out=self._sub_stats(stats_out, 'encoder'))
+            y = self.decoding.apply(
+                params['decoder'], z, pool_idx, dataset=dataset, train=train,
+                stats_out=self._sub_stats(stats_out, 'decoder'))
         else:
             z = self.encoding.apply(params['encoder'], x)
             y = self.decoding.apply(params['decoder'], z, encoder_params=params['encoder'])
         return y, z
 
-    def loss_fn(self, params, batch, rng, dataset=0):
+    def loss_fn(self, params, batch, rng, dataset=0, train=False):
         x = batch['images']
         m = batch.get('masks')
         fm = batch.get('frame_mask')
-        y, _ = self.forward(params, x, dataset=dataset)
+        stats = self._bn_stats(train)
+        y, _ = self.forward(params, x, dataset=dataset, train=train, stats_out=stats)
         loss = losses.mse(y, x, m, frame_mask=fm)
-        return loss, {'loss': loss}
+        return loss, self._attach_state({'loss': loss}, stats)
 
 
 class ConditionalAE(AE):
@@ -416,23 +480,30 @@ class ConditionalAE(AE):
         self.encoding = ConvEncoder(self.hparams)
         self.decoding = ConvDecoder(self.hparams)
 
-    def forward(self, params, x, dataset=0, labels=None, labels_2d=None, **kwargs):
+    def forward(self, params, x, dataset=0, labels=None, labels_2d=None,
+                train=False, stats_out=None, **kwargs):
         if self.hparams.get('conditional_encoder', False):
             x = jnp.concatenate([x, labels_2d], axis=-1)  # channel concat (NHWC)
-        z, pool_idx = self.encoding.apply(params['encoder'], x, dataset=dataset)
+        z, pool_idx = self.encoding.apply(
+            params['encoder'], x, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'encoder'))
         zl = jnp.concatenate([z, labels], axis=1)
-        y = self.decoding.apply(params['decoder'], zl, pool_idx, dataset=dataset)
+        y = self.decoding.apply(
+            params['decoder'], zl, pool_idx, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'decoder'))
         return y, z
 
-    def loss_fn(self, params, batch, rng, dataset=0):
+    def loss_fn(self, params, batch, rng, dataset=0, train=False):
         x = batch['images']
         m = batch.get('masks')
         fm = batch.get('frame_mask')
         labels = batch['labels']
         labels_2d = batch.get('labels_sc')
-        y, _ = self.forward(params, x, dataset=dataset, labels=labels, labels_2d=labels_2d)
+        stats = self._bn_stats(train)
+        y, _ = self.forward(params, x, dataset=dataset, labels=labels,
+                            labels_2d=labels_2d, train=train, stats_out=stats)
         loss = losses.mse(y, x, m, frame_mask=fm)
-        return loss, {'loss': loss}
+        return loss, self._attach_state({'loss': loss}, stats)
 
 
 class AEMSP(AE):
@@ -472,19 +543,25 @@ class AEMSP(AE):
             'U': jnp.zeros((self.n_latents, self.n_latents)),
         }
 
-    def forward(self, params, x, dataset=0, **kwargs):
+    def forward(self, params, x, dataset=0, train=False, stats_out=None, **kwargs):
         """Returns (reconstruction, latents, predicted labels)."""
-        z, pool_idx = self.encoding.apply(params['encoder'], x, dataset=dataset)
+        z, pool_idx = self.encoding.apply(
+            params['encoder'], x, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'encoder'))
         y_labels = jnp.dot(z, params['projection']['w'], preferred_element_type=jnp.float32)
-        x_hat = self.decoding.apply(params['decoder'], z, pool_idx, dataset=dataset)
+        x_hat = self.decoding.apply(
+            params['decoder'], z, pool_idx, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'decoder'))
         return x_hat, z, y_labels
 
-    def loss_fn(self, params, batch, rng, dataset=0):
+    def loss_fn(self, params, batch, rng, dataset=0, train=False):
         x = batch['images']
         y = batch['labels']
         m = batch.get('masks')
         fm = batch.get('frame_mask')
-        x_hat, z, y_hat = self.forward(params, x, dataset=dataset)
+        stats = self._bn_stats(train)
+        x_hat, z, y_hat = self.forward(params, x, dataset=dataset,
+                                       train=train, stats_out=stats)
         loss_mse = losses.mse(x_hat, x, m, frame_mask=fm)
         # back-projection: z ~= y_hat @ M (projection weight transposed back)
         loss_msp = losses.mse(y_hat, y, frame_mask=fm) + \
@@ -492,7 +569,8 @@ class AEMSP(AE):
                                   preferred_element_type=jnp.float32), frame_mask=fm)
         loss = loss_mse + self.hparams['msp.alpha'] * loss_msp
         r2 = r2_score_vw(y, y_hat, weights=fm)
-        return loss, {'loss': loss, 'loss_mse': loss_mse, 'loss_msp': loss_msp, 'labels_r2': r2}
+        return loss, self._attach_state(
+            {'loss': loss, 'loss_mse': loss_mse, 'loss_msp': loss_msp, 'labels_r2': r2}, stats)
 
     @staticmethod
     def create_orthogonal_matrix(params):

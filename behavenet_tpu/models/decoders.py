@@ -308,20 +308,29 @@ class ConvDecoder(base.BaseModel):
             self.decoding = LinearDecoder(self.hparams['n_labels'], self.img_size, tied=False)
         else:
             raise ValueError('"%s" is an invalid model_type' % self.model_type)
+        self.has_state = bool(self.hparams.get('ae_batch_norm')) and \
+            bool(self.hparams.get('track_running_stats', True)) and \
+            self.model_type == 'conv'
 
     def init(self, key):
         return {'decoder': self.decoding.init(key)}
 
-    def forward(self, params, x, dataset=0, **kwargs):
+    def forward(self, params, x, dataset=0, train=False, stats_out=None, **kwargs):
         if self.model_type == 'conv':
-            return self.decoding.apply(params['decoder'], x, None, dataset=dataset)
+            sub = None if stats_out is None else stats_out.setdefault('decoder', {})
+            return self.decoding.apply(params['decoder'], x, None, dataset=dataset,
+                                       train=train, stats_out=sub)
         return self.decoding.apply(params['decoder'], x)
 
-    def loss_fn(self, params, batch, rng, dataset=0):
+    def loss_fn(self, params, batch, rng, dataset=0, train=False):
         x = batch['images']
         y = batch['labels']
         m = batch.get('masks')
         fm = batch.get('frame_mask')
-        x_hat = self.forward(params, y, dataset=dataset)
+        stats = {} if (train and getattr(self, 'has_state', False)) else None
+        x_hat = self.forward(params, y, dataset=dataset, train=train, stats_out=stats)
         loss = losses.mse(x_hat, x, m, frame_mask=fm)
-        return loss, {'loss': loss}
+        metrics = {'loss': loss}
+        if stats and stats.get('decoder'):
+            metrics['_state'] = {'decoder': stats['decoder']}
+        return loss, metrics

@@ -88,25 +88,33 @@ class VAE(AE):
     def loss_kwargs(self, epoch):
         return {'beta': jnp.float32(self.beta_vals[epoch])}
 
-    def forward(self, params, x, rng=None, dataset=0, use_mean=False, **kwargs):
+    def forward(self, params, x, rng=None, dataset=0, use_mean=False,
+                train=False, stats_out=None, **kwargs):
         """Returns (x_hat, z, mu, logvar)."""
-        mu, logvar, pool_idx = self.encoding.apply(params['encoder'], x, dataset=dataset)
+        mu, logvar, pool_idx = self.encoding.apply(
+            params['encoder'], x, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'encoder'))
         z = mu if use_mean else reparameterize(rng, mu, logvar)
-        x_hat = self.decoding.apply(params['decoder'], z, pool_idx, dataset=dataset)
+        x_hat = self.decoding.apply(
+            params['decoder'], z, pool_idx, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'decoder'))
         return x_hat, z, mu, logvar
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0):
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, train=False):
         x = batch['images']
         m = batch.get('masks')
         fm = batch.get('frame_mask')
-        x_hat, _, mu, logvar = self.forward(params, x, rng=rng, dataset=dataset)
+        stats = self._bn_stats(train)
+        x_hat, _, mu, logvar = self.forward(params, x, rng=rng, dataset=dataset,
+                                            train=train, stats_out=stats)
         loss_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
         loss_kl = losses.kl_div_to_std_normal(mu, logvar, frame_mask=fm)
         loss = -loss_ll + beta * loss_kl
         n_dims = int(np.prod(x.shape[1:]))
         loss_mse = -(loss_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
-        return loss, {'loss': loss, 'loss_ll': loss_ll, 'loss_kl': loss_kl,
-                      'loss_mse': loss_mse, 'beta': beta}
+        return loss, self._attach_state(
+            {'loss': loss, 'loss_ll': loss_ll, 'loss_kl': loss_kl,
+             'loss_mse': loss_mse, 'beta': beta}, stats)
 
 
 class ConditionalVAE(VAE):
@@ -122,30 +130,37 @@ class ConditionalVAE(VAE):
         self.decoding = ConvDecoder(self.hparams)
 
     def forward(self, params, x, rng=None, dataset=0, labels=None, labels_2d=None,
-                use_mean=False, **kwargs):
+                use_mean=False, train=False, stats_out=None, **kwargs):
         if self.hparams.get('conditional_encoder', False):
             x = jnp.concatenate([x, labels_2d], axis=-1)
-        mu, logvar, pool_idx = self.encoding.apply(params['encoder'], x, dataset=dataset)
+        mu, logvar, pool_idx = self.encoding.apply(
+            params['encoder'], x, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'encoder'))
         z = mu if use_mean else reparameterize(rng, mu, logvar)
         z_aug = jnp.concatenate([z, labels], axis=1)
-        x_hat = self.decoding.apply(params['decoder'], z_aug, pool_idx, dataset=dataset)
+        x_hat = self.decoding.apply(
+            params['decoder'], z_aug, pool_idx, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'decoder'))
         return x_hat, z, mu, logvar
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0):
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, train=False):
         x = batch['images']
         m = batch.get('masks')
         fm = batch.get('frame_mask')
         labels = batch['labels']
         labels_2d = batch.get('labels_sc')
+        stats = self._bn_stats(train)
         x_hat, _, mu, logvar = self.forward(
-            params, x, rng=rng, dataset=dataset, labels=labels, labels_2d=labels_2d)
+            params, x, rng=rng, dataset=dataset, labels=labels, labels_2d=labels_2d,
+            train=train, stats_out=stats)
         loss_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
         loss_kl = losses.kl_div_to_std_normal(mu, logvar, frame_mask=fm)
         loss = -loss_ll + beta * loss_kl
         n_dims = int(np.prod(x.shape[1:]))
         loss_mse = -(loss_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
-        return loss, {'loss': loss, 'loss_ll': loss_ll, 'loss_kl': loss_kl,
-                      'loss_mse': loss_mse, 'beta': beta}
+        return loss, self._attach_state(
+            {'loss': loss, 'loss_ll': loss_ll, 'loss_kl': loss_kl,
+             'loss_mse': loss_mse, 'beta': beta}, stats)
 
 
 class BetaTCVAE(VAE):
@@ -167,18 +182,21 @@ class BetaTCVAE(VAE):
         return {'beta': jnp.float32(self.beta_vals[epoch]),
                 'kl': jnp.float32(self.kl_anneal_vals[epoch])}
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0):
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, train=False):
         x = batch['images']
         m = batch.get('masks')
         fm = batch.get('frame_mask')
-        x_hat, sample, mu, logvar = self.forward(params, x, rng=rng, dataset=dataset)
+        stats = self._bn_stats(train)
+        x_hat, sample, mu, logvar = self.forward(params, x, rng=rng, dataset=dataset,
+                                                 train=train, stats_out=stats)
         loss_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
         mi, tc, dwkl = _decomposed_kl(self.hparams, sample, mu, logvar, frame_mask=fm)
         loss = -loss_ll + kl * mi + beta * tc + kl * dwkl
         n_dims = int(np.prod(x.shape[1:]))
         loss_mse = -(loss_ll + (0.5 * losses.LN2PI) * n_dims) * 2.0 / n_dims
-        return loss, {'loss': loss, 'loss_ll': loss_ll, 'loss_mi': mi, 'loss_tc': tc,
-                      'loss_dwkl': dwkl, 'loss_mse': loss_mse, 'beta': beta}
+        return loss, self._attach_state(
+            {'loss': loss, 'loss_ll': loss_ll, 'loss_mi': mi, 'loss_tc': tc,
+             'loss_dwkl': dwkl, 'loss_mse': loss_mse, 'beta': beta}, stats)
 
 
 class _PSEncoderMixin:
@@ -244,25 +262,31 @@ class PSVAE(AE, _PSEncoderMixin):
         mask['encoder']['B'] = False
         return mask
 
-    def encode(self, params, x, dataset=0):
+    def encode(self, params, x, dataset=0, train=False, stats_out=None):
         """Returns (y, w, logvar, pool_idx): supervised / unsupervised heads."""
-        mu_ff, logvar, pool_idx = self.encoding.apply(params['encoder'], x, dataset=dataset)
+        mu_ff, logvar, pool_idx = self.encoding.apply(
+            params['encoder'], x, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'encoder'))
         A = jax.lax.stop_gradient(params['encoder']['A'])
         B = jax.lax.stop_gradient(params['encoder']['B'])
         y = jnp.dot(mu_ff, A, preferred_element_type=jnp.float32)
         w = jnp.dot(mu_ff, B, preferred_element_type=jnp.float32)
         return y, w, logvar, pool_idx
 
-    def forward(self, params, x, rng=None, dataset=0, use_mean=False, **kwargs):
+    def forward(self, params, x, rng=None, dataset=0, use_mean=False,
+                train=False, stats_out=None, **kwargs):
         """Returns (x_hat, z, mu, logvar, y_hat)."""
-        y, w, logvar, pool_idx = self.encode(params, x, dataset=dataset)
+        y, w, logvar, pool_idx = self.encode(params, x, dataset=dataset,
+                                             train=train, stats_out=stats_out)
         mu = jnp.concatenate([y, w], axis=1)
         z = mu if use_mean else reparameterize(rng, mu, logvar)
-        x_hat = self.decoding.apply(params['decoder'], z, pool_idx, dataset=dataset)
+        x_hat = self.decoding.apply(
+            params['decoder'], z, pool_idx, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'decoder'))
         y_hat = base.diag_linear(params['encoder']['D'], y)
         return x_hat, z, mu, logvar, y_hat
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0):
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, train=False):
         x = batch['images']
         y = batch['labels']
         m = batch.get('masks')
@@ -270,7 +294,9 @@ class PSVAE(AE, _PSEncoderMixin):
         fm = batch.get('frame_mask')
         n_labels = self.n_labels
         alpha = self.hparams['ps_vae.alpha']
-        x_hat, sample, mu, logvar, y_hat = self.forward(params, x, rng=rng, dataset=dataset)
+        stats = self._bn_stats(train)
+        x_hat, sample, mu, logvar, y_hat = self.forward(
+            params, x, rng=rng, dataset=dataset, train=train, stats_out=stats)
 
         loss_data_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
         loss_label_ll = losses.gaussian_ll(y, y_hat, n, frame_mask=fm)
@@ -292,11 +318,11 @@ class PSVAE(AE, _PSEncoderMixin):
         elif fm is not None:
             w_ = fm
         r2 = r2_score_vw(y, y_hat, weights=w_)
-        return loss, {
+        return loss, self._attach_state({
             'loss': loss, 'loss_data_ll': loss_data_ll, 'loss_label_ll': loss_label_ll,
             'loss_zs_kl': loss_zs_kl, 'loss_zu_mi': mi, 'loss_zu_tc': tc, 'loss_zu_dwkl': dwkl,
             'loss_data_mse': loss_data_mse, 'alpha': jnp.float32(alpha), 'beta': beta,
-            'label_r2': r2}
+            'label_r2': r2}, stats)
 
     def get_predicted_labels(self, params, x, dataset=0, use_mean=True, rng=None):
         y, _, logvar, _ = self.encode(params, x, dataset=dataset)
@@ -360,9 +386,11 @@ class MSPSVAE(PSVAE):
         mask['encoder']['C'] = False
         return mask
 
-    def encode(self, params, x, dataset=0):
+    def encode(self, params, x, dataset=0, train=False, stats_out=None):
         """Returns (z_s, z_b, z_u, logvar, pool_idx)."""
-        mu_ff, logvar, pool_idx = self.encoding.apply(params['encoder'], x, dataset=dataset)
+        mu_ff, logvar, pool_idx = self.encoding.apply(
+            params['encoder'], x, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'encoder'))
         A = jax.lax.stop_gradient(params['encoder']['A'])
         B = jax.lax.stop_gradient(params['encoder']['B'])
         C = jax.lax.stop_gradient(params['encoder']['C'])
@@ -371,15 +399,20 @@ class MSPSVAE(PSVAE):
         z_b = jnp.dot(mu_ff, C, preferred_element_type=jnp.float32) + params['encoder']['C_b']
         return z_s, z_b, z_u, logvar, pool_idx
 
-    def forward(self, params, x, rng=None, dataset=0, use_mean=False, **kwargs):
-        z_s, z_b, z_u, logvar, pool_idx = self.encode(params, x, dataset=dataset)
+    def forward(self, params, x, rng=None, dataset=0, use_mean=False,
+                train=False, stats_out=None, **kwargs):
+        z_s, z_b, z_u, logvar, pool_idx = self.encode(
+            params, x, dataset=dataset, train=train, stats_out=stats_out)
         mu = jnp.concatenate([z_s, z_b, z_u], axis=1)
         z = mu if use_mean else reparameterize(rng, mu, logvar)
-        x_hat = self.decoding.apply(params['decoder'], z, pool_idx, dataset=dataset)
+        x_hat = self.decoding.apply(
+            params['decoder'], z, pool_idx, dataset=dataset, train=train,
+            stats_out=self._sub_stats(stats_out, 'decoder'))
         y_hat = base.diag_linear(params['encoder']['D'], z_s)
         return x_hat, z, mu, logvar, y_hat
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, seg_lens=None):
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, seg_lens=None,
+                train=False):
         """Batch is a dataset-major concatenation of per-session trial segments.
 
         ``seg_lens`` (static tuple of per-session row counts) drives the
@@ -396,7 +429,9 @@ class MSPSVAE(PSVAE):
         alpha = self.hparams['ps_vae.alpha']
         delta = self.hparams['ps_vae.delta']
         rng_f, rng_t = jax.random.split(rng)
-        x_hat, sample, mu, logvar, y_hat = self.forward(params, x, rng=rng_f, dataset=dataset)
+        stats = self._bn_stats(train)
+        x_hat, sample, mu, logvar, y_hat = self.forward(
+            params, x, rng=rng_f, dataset=dataset, train=train, stats_out=stats)
 
         loss_data_ll = losses.gaussian_ll(x, x_hat, m, frame_mask=fm)
         loss_label_ll = losses.gaussian_ll(y, y_hat, n, frame_mask=fm)
@@ -425,12 +460,12 @@ class MSPSVAE(PSVAE):
         elif fm is not None:
             w_ = fm
         r2 = r2_score_vw(y, y_hat, weights=w_)
-        return loss, {
+        return loss, self._attach_state({
             'loss': loss, 'loss_data_ll': loss_data_ll, 'loss_label_ll': loss_label_ll,
             'loss_zs_kl': loss_zs_kl, 'loss_zu_mi': mi, 'loss_zu_tc': tc, 'loss_zu_dwkl': dwkl,
             'loss_triplet': loss_triplet, 'loss_data_mse': loss_data_mse,
             'alpha': jnp.float32(alpha), 'beta': beta, 'delta': jnp.float32(delta),
-            'label_r2': r2}
+            'label_r2': r2}, stats)
 
     def get_transformed_latents(self, params, inputs, dataset=0):
         inputs = jnp.asarray(inputs)

@@ -298,18 +298,49 @@ def max_unpool2d(x, indices, out_hw):
     return out.reshape(n, oh, ow, c)
 
 
-def batch_norm(x, gamma, beta, eps=1e-5):
-    """Batch normalization over (N, H, W) per channel using batch statistics.
+def batch_norm(x, gamma, beta, eps=1e-5, mean=None, var=None):
+    """Batch normalization over (N, H, W) per channel.
 
-    Matches torch BatchNorm2d with ``track_running_stats=False`` (the
-    reference exposes this via hparams, aes.py:95): batch statistics are
-    used at train and eval time; no running averages.
+    With ``mean``/``var`` omitted, batch statistics are used — torch
+    BatchNorm2d train-mode behavior, and eval-mode behavior when
+    ``track_running_stats=False`` (reference aes.py:92-95 exposes both the
+    momentum and the tracking flag via hparams). Passing running statistics
+    reproduces torch eval mode with tracking on.
     """
     axes = tuple(range(x.ndim - 1))
     xf = x.astype(jnp.float32)  # stats in f32 even on a bf16 activation chain
-    mean = jnp.mean(xf, axis=axes, keepdims=True)
-    var = jnp.var(xf, axis=axes, keepdims=True)
+    if mean is None:
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+    else:
+        mean = mean.astype(jnp.float32)
+        var = var.astype(jnp.float32)
     return (gamma * (xf - mean) * jax.lax.rsqrt(var + eps) + beta).astype(x.dtype)
+
+
+def batch_norm_update(x, stats, momentum=0.1):
+    """New running statistics after observing batch ``x`` (torch semantics).
+
+    Matches ``nn.BatchNorm2d(track_running_stats=True)`` (reference
+    aes.py:92-95, 332-336): exponential moving average of the batch mean and
+    the *unbiased* batch variance; ``momentum=None`` switches to torch's
+    cumulative moving average via ``num_batches``. Returns a dict of new
+    ``running_mean`` / ``running_var`` / ``num_batches`` leaves (f32,
+    gradient-stopped) for the trainer to merge into the params pytree.
+    """
+    axes = tuple(range(x.ndim - 1))
+    xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.var(xf, axis=axes)
+    n = int(np.prod([x.shape[a] for a in axes]))
+    var_unbiased = var * (n / max(n - 1, 1))
+    count = stats['num_batches'] + 1.0
+    m = (1.0 / count) if momentum is None else momentum
+    return {
+        'running_mean': (1.0 - m) * stats['running_mean'] + m * mean,
+        'running_var': (1.0 - m) * stats['running_var'] + m * var_unbiased,
+        'num_batches': count,
+    }
 
 
 def leaky_relu(x, negative_slope=0.05):

@@ -61,6 +61,30 @@ def torch_state_dict_to_params(state_dict, model, params):
                     'b': jnp.asarray(b),
                 }
 
+    # ---- batch-norm layers (reference names batchnorm%i alongside conv%i /
+    # convtranspose%i; state dict carries weight/bias + running stats when
+    # track_running_stats=True, aes.py:92-95, 332-336)
+    for group, module, prefix in (('encoder', model.encoding, 'encoding.encoder'),
+                                  ('decoder', getattr(model, 'decoding', None),
+                                   'decoding.decoder')):
+        if module is None or not hasattr(module, 'layers'):
+            continue
+        bn_specs = [s for s in module.layers if s['type'] == 'bn']
+        for g, spec in enumerate(bn_specs):
+            tkey = '%s.batchnorm%i.weight' % (prefix, g)
+            if tkey not in sd:
+                continue
+            p = {'gamma': jnp.asarray(sd[tkey]),
+                 'beta': jnp.asarray(sd['%s.batchnorm%i.bias' % (prefix, g)])}
+            rm_key = '%s.batchnorm%i.running_mean' % (prefix, g)
+            if rm_key in sd:
+                p['running_mean'] = jnp.asarray(sd[rm_key])
+                p['running_var'] = jnp.asarray(
+                    sd['%s.batchnorm%i.running_var' % (prefix, g)])
+                nb = sd.get('%s.batchnorm%i.num_batches_tracked' % (prefix, g), 0)
+                p['num_batches'] = jnp.asarray(float(np.asarray(nb)))
+            new[group][spec['name']] = p
+
     # ---- encoder FF (+ logvar): permute input dims CHW -> HWC
     c_last = hp['ae_encoding_n_channels'][-1]
     h_last = hp['ae_encoding_y_dim'][-1]

@@ -13,11 +13,11 @@ from behavenet_tpu.models import arch as arch_mod
 from behavenet_tpu.utils.torch_import import torch_state_dict_to_params
 
 
-def build_hparams(img=(1, 32, 24), n_latents=5):
+def build_hparams(img=(1, 32, 24), n_latents=5, **extra):
     a = arch_mod.load_handcrafted_arch(list(img), n_latents, None, check_memory=False)
     return dict(a, model_class='ae', model_type='conv', n_ae_latents=n_latents,
                 n_input_channels=img[0], y_pixels=img[1], x_pixels=img[2],
-                rng_seed_model=0)
+                rng_seed_model=0, **extra)
 
 
 class TorchRefAE(nn.Module):
@@ -25,13 +25,17 @@ class TorchRefAE(nn.Module):
 
     Built from the same arch dict (same-padding stride conv stack with
     LeakyReLU(0.05), FF to latents, mirrored conv-transpose decoder with
-    sigmoid) so a state dict from this model looks like a reference
-    checkpoint for import testing.
+    sigmoid, optional BatchNorm2d per conv layer as in reference
+    aes.py:91-97, 332-338) so a state dict from this model looks like a
+    reference checkpoint for import testing.
     """
 
     def __init__(self, hp):
         super().__init__()
         self.hp = hp
+        self.bn = bool(hp.get('ae_batch_norm', 0))
+        bn_kw = dict(momentum=hp.get('ae_batch_norm_momentum', 0.1),
+                     track_running_stats=hp.get('track_running_stats', True))
 
         # encoder
         enc = nn.ModuleDict()
@@ -44,6 +48,9 @@ class TorchRefAE(nn.Module):
             x0, x1 = hp['ae_encoding_x_padding'][i]
             self.enc_pads.append((x0, x1, y0, y1))
             enc['conv%i' % i] = nn.Conv2d(c_in, hp['ae_encoding_n_channels'][i], k, s, 0)
+            if self.bn:
+                enc['batchnorm%i' % i] = nn.BatchNorm2d(
+                    hp['ae_encoding_n_channels'][i], **bn_kw)
             c_in = hp['ae_encoding_n_channels'][i]
         self.enc = enc
         fc_in = hp['ae_encoding_n_channels'][-1] * hp['ae_encoding_y_dim'][-1] * \
@@ -56,7 +63,8 @@ class TorchRefAE(nn.Module):
         dec = nn.ModuleDict()
         c_in = hp['ae_decoding_starting_dim'][0]
         self.dec_pads = []
-        for i in range(len(hp['ae_decoding_n_channels'])):
+        n_dec = len(hp['ae_decoding_n_channels'])
+        for i in range(n_dec):
             k = hp['ae_decoding_kernel_size'][i]
             s = hp['ae_decoding_stride_size'][i]
             y0, y1 = hp['ae_decoding_y_padding'][i]
@@ -64,6 +72,9 @@ class TorchRefAE(nn.Module):
             self.dec_pads.append((x0, x1, y0, y1))
             dec['convtranspose%i' % i] = nn.ConvTranspose2d(
                 c_in, hp['ae_decoding_n_channels'][i], k, s, padding=0)
+            if self.bn and i < n_dec - 1:  # no BN on the last (sigmoid) layer
+                dec['batchnorm%i' % i] = nn.BatchNorm2d(
+                    hp['ae_decoding_n_channels'][i], **bn_kw)
             c_in = hp['ae_decoding_n_channels'][i]
         self.dec = dec
 
@@ -72,6 +83,8 @@ class TorchRefAE(nn.Module):
             x0, x1, y0, y1 = self.enc_pads[i]
             x = F.pad(x, (x0, x1, y0, y1))
             x = self.enc['conv%i' % i](x)
+            if self.bn:
+                x = self.enc['batchnorm%i' % i](x)
             x = F.leaky_relu(x, 0.05)
         z = self.FF_enc(x.reshape(x.shape[0], -1))
         y = self.FF_dec(z)
@@ -82,7 +95,12 @@ class TorchRefAE(nn.Module):
             x0, x1, y0, y1 = self.dec_pads[i]
             y = self.dec['convtranspose%i' % i](y)
             y = F.pad(y, (-x0, -x1, -y0, -y1))
-            y = torch.sigmoid(y) if i == n - 1 else F.leaky_relu(y, 0.05)
+            if i == n - 1:
+                y = torch.sigmoid(y)
+            else:
+                if self.bn:
+                    y = self.dec['batchnorm%i' % i](y)
+                y = F.leaky_relu(y, 0.05)
         return y, z
 
     def reference_state_dict(self):
@@ -91,6 +109,15 @@ class TorchRefAE(nn.Module):
         for i in range(len(self.hp['ae_encoding_n_channels'])):
             sd['encoding.encoder.conv%i.weight' % i] = self.enc['conv%i' % i].weight
             sd['encoding.encoder.conv%i.bias' % i] = self.enc['conv%i' % i].bias
+            if self.bn:
+                bn = self.enc['batchnorm%i' % i]
+                sd['encoding.encoder.batchnorm%i.weight' % i] = bn.weight
+                sd['encoding.encoder.batchnorm%i.bias' % i] = bn.bias
+                if bn.track_running_stats:
+                    sd['encoding.encoder.batchnorm%i.running_mean' % i] = bn.running_mean
+                    sd['encoding.encoder.batchnorm%i.running_var' % i] = bn.running_var
+                    sd['encoding.encoder.batchnorm%i.num_batches_tracked' % i] = \
+                        bn.num_batches_tracked
         sd['encoding.FF.weight'] = self.FF_enc.weight
         sd['encoding.FF.bias'] = self.FF_enc.bias
         sd['decoding.FF.weight'] = self.FF_dec.weight
@@ -100,6 +127,15 @@ class TorchRefAE(nn.Module):
                 self.dec['convtranspose%i' % i].weight
             sd['decoding.decoder.convtranspose%i.bias' % i] = \
                 self.dec['convtranspose%i' % i].bias
+            if self.bn and ('batchnorm%i' % i) in self.dec:
+                bn = self.dec['batchnorm%i' % i]
+                sd['decoding.decoder.batchnorm%i.weight' % i] = bn.weight
+                sd['decoding.decoder.batchnorm%i.bias' % i] = bn.bias
+                if bn.track_running_stats:
+                    sd['decoding.decoder.batchnorm%i.running_mean' % i] = bn.running_mean
+                    sd['decoding.decoder.batchnorm%i.running_var' % i] = bn.running_var
+                    sd['decoding.decoder.batchnorm%i.num_batches_tracked' % i] = \
+                        bn.num_batches_tracked
         return sd
 
 
@@ -187,3 +223,142 @@ class TestTrainingParity:
 
         assert np.allclose(losses_jax, losses_torch, rtol=1e-3, atol=1e-5), \
             'jax %s vs torch %s' % (losses_jax, losses_torch)
+
+
+class TestBatchNormParity:
+    """BatchNorm running statistics: torch train/eval semantics end to end
+    (reference aes.py:92-95 defaults momentum=0.1, track_running_stats=True)."""
+
+    def _lockstep(self, momentum):
+        """5 SGD steps in lockstep with torch (SGD so the update rule is
+        bit-identical on both sides: with Adam the per-parameter
+        normalization chaotically amplifies f32 rounding noise through the
+        batch-norm layers, ~1e-2 relative loss drift by step 5 even though
+        forward/grads agree to 1e-8)."""
+        import optax
+        from behavenet_tpu.fitting.training import merge_state
+        hp = build_hparams(ae_batch_norm=1, ae_batch_norm_momentum=momentum,
+                           learning_rate=1e-2, l2_reg=0)
+        torch.manual_seed(0)
+        ref = TorchRefAE(hp)
+
+        model = AE(hp)
+        assert model.has_state
+        params = model.init(jax.random.PRNGKey(0))
+        params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+        tx = optax.sgd(1e-2)
+        opt_state = tx.init(params)
+
+        opt_t = torch.optim.SGD(ref.parameters(), lr=1e-2)
+        ref.train()
+        rs = np.random.RandomState(0)
+        for step in range(5):
+            x = rs.rand(8, 32, 24, 1).astype(np.float32)
+
+            def lf(p):
+                return model.loss_fn(p, {'images': jnp.asarray(x)},
+                                     jax.random.PRNGKey(0), train=True)
+            (loss_j, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            state = metrics.pop('_state')
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = merge_state(optax.apply_updates(params, updates), state)
+
+            opt_t.zero_grad()
+            xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+            y_t, _ = ref(xt)
+            loss_t = torch.mean((y_t - xt) ** 2)
+            loss_t.backward()
+            opt_t.step()
+            np.testing.assert_allclose(
+                float(loss_j), float(loss_t.detach()), rtol=1e-4, atol=1e-6)
+        return hp, ref, model, params
+
+    def test_running_stats_and_eval_parity(self):
+        """5 lockstep train steps: running stats track torch; eval outputs match."""
+        hp, ref, model, params = self._lockstep(momentum=0.1)
+
+        # running stats of the first encoder BN layer must match torch's
+        bn_t = ref.enc['batchnorm0']
+        bn_j = params['encoder']['bn_0']
+        np.testing.assert_allclose(np.asarray(bn_j['running_mean']),
+                                   bn_t.running_mean.numpy(), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bn_j['running_var']),
+                                   bn_t.running_var.numpy(), rtol=1e-3, atol=1e-5)
+        assert float(bn_j['num_batches']) == float(bn_t.num_batches_tracked)
+
+        # eval mode uses running stats on both sides
+        ref.eval()
+        rs = np.random.RandomState(7)
+        x = rs.rand(4, 32, 24, 1).astype(np.float32)
+        y_jax, _ = model.forward(params, jnp.asarray(x))
+        with torch.no_grad():
+            y_t, _ = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(
+            np.asarray(y_jax), np.transpose(y_t.numpy(), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4)
+
+    def test_cumulative_momentum(self):
+        """momentum=None (the shipped configs' null) -> torch cumulative average."""
+        hp, ref, model, params = self._lockstep(momentum=None)
+        bn_t = ref.enc['batchnorm0']
+        bn_j = params['encoder']['bn_0']
+        np.testing.assert_allclose(np.asarray(bn_j['running_mean']),
+                                   bn_t.running_mean.numpy(), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bn_j['running_var']),
+                                   bn_t.running_var.numpy(), rtol=1e-3, atol=1e-5)
+
+    def test_train_step_merges_state(self):
+        """The real jitted train_step updates running stats and keeps
+        '_state' out of the logged metrics."""
+        from behavenet_tpu.fitting.training import make_train_functions
+        hp = build_hparams(ae_batch_norm=1, ae_batch_norm_momentum=0.1,
+                           learning_rate=1e-3, l2_reg=1e-4)
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        tx, train_step, eval_step = make_train_functions(model, hp)
+        opt_state = tx.init(params)
+        rs = np.random.RandomState(0)
+        x = rs.rand(8, 32, 24, 1).astype(np.float32)
+        axes = (0, 1, 2)
+        # expected first-step stats from the first conv's output
+        from behavenet_tpu.ops import conv as ops
+        spec = model.encoding.layers[0]
+        h = ops.conv2d(jnp.asarray(x), params['encoder']['conv_0']['w'],
+                       params['encoder']['conv_0']['b'], spec['stride'],
+                       spec['pad_y'], spec['pad_x'])
+        n = int(np.prod([h.shape[a] for a in axes]))
+        exp_mean = 0.1 * np.mean(np.asarray(h), axis=axes)
+        exp_var = 0.9 * 1.0 + 0.1 * np.var(np.asarray(h), axis=axes) * n / (n - 1)
+        params, opt_state, metrics = train_step(
+            params, opt_state, jax.random.PRNGKey(1),
+            {'images': jnp.asarray(x)}, {}, 0, None)
+        assert '_state' not in metrics
+        bn = params['encoder']['bn_0']
+        np.testing.assert_allclose(np.asarray(bn['running_mean']), exp_mean,
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(bn['running_var']), exp_var,
+                                   rtol=1e-5, atol=1e-7)
+        assert float(bn['num_batches']) == 1.0
+        # weight decay must not have touched the running stats (l2_reg>0)
+        metrics = eval_step(params, jax.random.PRNGKey(2),
+                            {'images': jnp.asarray(x)}, {}, 0, None)
+        assert '_state' not in metrics
+
+    def test_no_tracking_uses_batch_stats(self):
+        """track_running_stats=False keeps round-2 behavior (batch stats always)."""
+        hp = build_hparams(ae_batch_norm=1, track_running_stats=False)
+        torch.manual_seed(0)
+        ref = TorchRefAE(hp).eval()
+        model = AE(hp)
+        assert not model.has_state
+        params = model.init(jax.random.PRNGKey(0))
+        params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+        assert 'running_mean' not in params['encoder']['bn_0']
+        rs = np.random.RandomState(3)
+        x = rs.rand(4, 32, 24, 1).astype(np.float32)
+        y_jax, _ = model.forward(params, jnp.asarray(x))
+        with torch.no_grad():
+            y_t, _ = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(
+            np.asarray(y_jax), np.transpose(y_t.numpy(), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4)
