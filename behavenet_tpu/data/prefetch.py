@@ -43,7 +43,9 @@ def prefetched(next_fn, n_batches, depth=2, stage_fn=None, workers=1):
     if depth == 0:
         maxsize = workers if pool is not None else 0
     else:
-        maxsize = max(depth, workers)
+        # workers only widens the queue when a pool actually exists;
+        # otherwise the caller-requested depth bounds host read-ahead
+        maxsize = max(depth, workers) if pool is not None else depth
     q = queue.Queue(maxsize=maxsize)
 
     def put(item):

@@ -180,10 +180,17 @@ def gaussian_neg_log_prob(y_pred, y_true, cov, frame_mask=None):
     else:
         if frame_mask is not None:
             sigma = jnp.where(frame_mask[:, None, None] > 0, sigma, jnp.eye(d))
-        # unrolled small-matrix factorization: XLA's batched cholesky /
-        # solve_triangular lower to per-panel loops ~8x slower on TPU
-        chol = smallmat.cholesky_small(sigma)  # (B, d, d)
-        sol = smallmat.solve_tril_small(chol, diff)
+        if d <= 16:
+            # unrolled small-matrix factorization: XLA's batched cholesky /
+            # solve_triangular lower to per-panel loops ~8x slower on TPU.
+            # The unroll emits O(d^2) ops at trace time, so large label
+            # dimensions fall back to the generic batched path below.
+            chol = smallmat.cholesky_small(sigma)  # (B, d, d)
+            sol = smallmat.solve_tril_small(chol, diff)
+        else:
+            chol = jnp.linalg.cholesky(sigma)
+            sol = jax.scipy.linalg.solve_triangular(
+                chol, diff[..., None], lower=True)[..., 0]
         maha = jnp.sum(sol ** 2, axis=1)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)
     nll = 0.5 * (d * LN2PI + logdet + maha)

@@ -28,6 +28,12 @@ def solve_small(A, Y, pivot=False):
     it pre-broadcast). Returns X shaped like the broadcast Y.
     """
     vec = Y.ndim == A.ndim - 1
+    if not vec and Y.ndim < A.ndim - 1:
+        raise ValueError(
+            'solve_small: Y with shape %s is neither a matrix RHS nor a '
+            'batch-matched vector RHS for A with shape %s; broadcast the '
+            'vector across A\'s batch dims first (e.g. '
+            'jnp.broadcast_to(Y, A.shape[:-1]))' % (Y.shape, A.shape))
     if vec:
         Y = Y[..., None]
     n = A.shape[-1]
