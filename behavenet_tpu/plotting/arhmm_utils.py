@@ -20,43 +20,37 @@ __all__ = ['get_discrete_chunks', 'get_state_durations', 'get_latent_arrays_by_d
 
 
 def get_discrete_chunks(states, include_edges=True):
-    """Find occurrences of each discrete state (reference :24-69).
+    """Find occurrences of each discrete state (reference arhmm_utils.py:24-69
+    output contract).
 
     Returns a list of length n_states; entry k is an array of
-    [trial, start_idx, end_idx] rows for each run of state k.
+    [trial, start_idx, end_idx] rows (end exclusive) for each run of state
+    k. With ``include_edges=False``, runs touching either end of a trial
+    are dropped.
     """
-    max_state = max([max(x) for x in states])
-    indexing_list = [[] for _ in range(max_state + 1)]
-
-    for i_chunk, chunk in enumerate(states):
-        chunk = np.pad(chunk, (1, 1), mode='constant', constant_values=-1)
-        split_indices = np.where(np.ediff1d(chunk) != 0)[0]
-        for i in range(len(split_indices) - 1):
-            which_state = chunk[split_indices[i] + 1]
-            if not include_edges:
-                if split_indices[i] != 0 and split_indices[i + 1] != (len(chunk) - 2):
-                    indexing_list[which_state].append(
-                        [i_chunk, split_indices[i], split_indices[i + 1]])
-            else:
-                indexing_list[which_state].append(
-                    [i_chunk, split_indices[i], split_indices[i + 1]])
-
-    return [np.asarray(indexing_list[i]) for i in range(max_state + 1)]
+    n_states = max(int(np.max(seq)) for seq in states) + 1
+    chunks = [[] for _ in range(n_states)]
+    for trial, seq in enumerate(states):
+        seq = np.asarray(seq)
+        # run-length encode the state sequence
+        starts = np.flatnonzero(np.r_[True, seq[1:] != seq[:-1]])
+        ends = np.r_[starts[1:], len(seq)]
+        if not include_edges:
+            keep = (starts != 0) & (ends != len(seq))
+            starts, ends = starts[keep], ends[keep]
+        for s, e in zip(starts, ends):
+            chunks[seq[s]].append([trial, s, e])
+    return [np.asarray(c) for c in chunks]
 
 
 def get_state_durations(latents, hmm, include_edges=True):
-    """Frame count of every state run (reference :71-100)."""
+    """Frame count of every state run (reference arhmm_utils.py:71-100
+    contract: per-state arrays of run lengths over the Viterbi paths)."""
     if hmm.K == 1:
         return []
     states = [np.asarray(hmm.most_likely_states(x)) for x in latents if len(x) > 0]
-    state_indices = get_discrete_chunks(states, include_edges=include_edges)
-    durations = []
-    for i_state in range(len(state_indices)):
-        if len(state_indices[i_state]) > 0:
-            durations.append(np.concatenate(np.diff(state_indices[i_state][:, 1:3], 1)))
-        else:
-            durations.append(np.array([]))
-    return durations
+    return [runs[:, 2] - runs[:, 1] if len(runs) else np.array([])
+            for runs in get_discrete_chunks(states, include_edges=include_edges)]
 
 
 def get_latent_arrays_by_dtype(data_generator, sess_idxs=0, data_key='ae_latents'):
@@ -76,74 +70,77 @@ def get_latent_arrays_by_dtype(data_generator, sess_idxs=0, data_key='ae_latents
     return latents, trial_idxs
 
 
-def get_model_latents_states(hparams, version, sess_idx=0, return_samples=0,
-                             cond_sampling=False, dtype='test', dtypes=('train', 'val', 'test'),
-                             rng_seed=0):
-    """Load an ARHMM + its latents and compute states/samples (reference :134-251).
+def _resolve_arhmm_artifacts(hparams, version, sess_idx):
+    """Locate a fitted ARHMM version and its input arrays on disk.
 
-    Returns dict with keys 'model', 'latents_dict', 'states_dict',
-    'trial_idxs_dict', 'latents_gen' (unconditional or conditional samples).
+    Side effect (reference contract): fills ``hparams['session_dir']`` /
+    ``hparams['expt_dir']``. Returns (hmm, trials_by_dtype, all_trial_arrays)
+    where ``all_trial_arrays`` is the full per-trial list the dtype-indexed
+    trial ids index into.
     """
     from behavenet_tpu.data.utils import get_transforms_paths
     from behavenet_tpu.fitting.experiment import (
         experiment_exists, get_best_model_version, get_expt_dir, get_session_dir)
-    from behavenet_tpu.models.arhmm import ARHMM
 
     hparams['session_dir'], sess_ids = get_session_dir(
         hparams, session_source=hparams.get('all_source', 'save'))
     hparams['expt_dir'] = get_expt_dir(hparams)
 
-    # default to latest version if not specified
     if version == 'best':
         version = get_best_model_version(hparams['expt_dir'], 'val_loss', best_def='min')[0]
     else:
         _, version = experiment_exists(hparams, which_version=True)
 
-    # load model
-    model_file = os.path.join(hparams['expt_dir'], 'version_%i' % version, 'best_val_model.pt')
-    with open(model_file, 'rb') as f:
+    with open(os.path.join(hparams['expt_dir'], 'version_%i' % version,
+                           'best_val_model.pt'), 'rb') as f:
         hmm = pickle.load(f)
 
-    # load latents
-    if hparams['model_class'].find('labels') > -1:
+    # ARHMM inputs are either AE latents or (for *-labels classes) labels
+    # served through the same pickle schema
+    if 'labels' in hparams['model_class']:
         from behavenet_tpu.data.utils import load_labels_like_latents
-        all_latents = load_labels_like_latents(hparams, sess_ids, sess_idx)
+        arrays = load_labels_like_latents(hparams, sess_ids, sess_idx)
     else:
         _, latents_file = get_transforms_paths(
             'ae_latents', hparams, sess_ids[sess_idx], check_splits=False)
         with open(latents_file, 'rb') as f:
-            all_latents = pickle.load(f)
+            arrays = pickle.load(f)
+    return hmm, arrays['trials'], arrays['latents']
 
-    # collect trial indices/latents/states by dtype
-    trial_idxs = {}
-    latents = {}
-    states = {}
-    for data_type in dtypes:
-        trial_idxs[data_type] = np.asarray(all_latents['trials'][data_type])
-        latents[data_type] = [all_latents['latents'][i] for i in trial_idxs[data_type]]
-        states[data_type] = [
-            np.asarray(hmm.most_likely_states(x)) for x in latents[data_type]]
 
-    # generate samples
-    states_gen = []
-    latents_gen = []
+def get_model_latents_states(hparams, version, sess_idx=0, return_samples=0,
+                             cond_sampling=False, dtype='test', dtypes=('train', 'val', 'test'),
+                             rng_seed=0):
+    """Load an ARHMM + its latents and compute states/samples (reference
+    arhmm_utils.py:134-251 contract).
+
+    Returns dict with keys 'model', 'latents_dict', 'states_dict',
+    'trial_idxs_dict', 'states_gen'/'latents_gen' (conditional samples
+    follow the inferred state sequences; unconditional samples draw fresh
+    ones — here via the in-repo ARHMM's jax sampler).
+    """
+    hmm, trials_by_dtype, all_arrays = _resolve_arhmm_artifacts(hparams, version, sess_idx)
+
+    trial_idxs = {dt: np.asarray(trials_by_dtype[dt]) for dt in dtypes}
+    latents = {dt: [all_arrays[i] for i in trial_idxs[dt]] for dt in dtypes}
+    states = {dt: [np.asarray(hmm.most_likely_states(x)) for x in latents[dt]]
+              for dt in dtypes}
+
+    states_gen, latents_gen = [], []
     if return_samples > 0:
         import jax
-        key = jax.random.PRNGKey(rng_seed)
+        keys = jax.random.split(jax.random.PRNGKey(rng_seed), return_samples)
         if cond_sampling:
-            n_latents = latents[dtype][0].shape[1]
-            for i in range(return_samples):
-                key, sub = jax.random.split(key)
-                z = states[dtype][i % len(states[dtype])]
-                latents_gen.append(hmm.sample_x(z, key=sub))
-                states_gen.append(z)
+            # sample observations along the inferred state paths of ``dtype``
+            pool = states[dtype]
+            states_gen = [pool[i % len(pool)] for i in range(return_samples)]
+            latents_gen = [hmm.sample_x(z, key=k) for z, k in zip(states_gen, keys)]
         else:
             T = len(states[dtype][0])
-            for i in range(return_samples):
-                key, sub = jax.random.split(key)
-                zs, xs = hmm.sample(T, key=sub)
-                states_gen.append(zs)
-                latents_gen.append(xs)
+            for k in keys:
+                z_smp, x_smp = hmm.sample(T, key=k)
+                states_gen.append(z_smp)
+                latents_gen.append(x_smp)
 
     return {
         'model': hmm,

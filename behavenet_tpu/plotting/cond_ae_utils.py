@@ -63,73 +63,71 @@ def compute_range(values_list, min_p=5, max_p=95):
         'med': np.nanpercentile(values, 50, axis=0)}
 
 
+def _session_latents_file(hparams, sess, version):
+    """Path to a session's exported latents pickle inside a model version."""
+    name = '%s_%s_%s_%s_latents.pkl' % (
+        sess['lab'], sess['expt'], sess['animal'], sess['session'])
+    return os.path.join(hparams['expt_dir'], 'version_%i' % version, name)
+
+
+def _collect_trial_arrays(input_type, hparams, sess_ids, idxs, model, params,
+                          data_gen, version, export_if_missing):
+    """All trial arrays of one signal across the requested sessions."""
+    if input_type == 'latents':
+        trials = []
+        for s_idx in idxs:
+            sess = sess_ids[s_idx] if (sess_ids is not None and s_idx is not None) \
+                else hparams
+            path = _session_latents_file(hparams, sess, version)
+            if not os.path.exists(path) and export_if_missing:
+                from behavenet_tpu.fitting.eval import export_latents
+                print('latents file not found at %s' % path)
+                print('exporting latents...', end='')
+                path = export_latents(data_gen, model, params)[0]
+                print('done')
+            with open(path, 'rb') as f:
+                trials += pickle.load(f)['latents']
+        return trials
+    if input_type == 'labels':
+        return [arr for s_idx in idxs for arr in
+                load_labels_like_latents(hparams, sess_ids, sess_idx=s_idx)['latents']]
+    if input_type == 'labels_sc':
+        # labels_sc only resolves for conditional-encoder configs
+        hp = copy.deepcopy(hparams)
+        hp['conditional_encoder'] = True
+        return [arr for s_idx in idxs for arr in
+                load_labels_like_latents(
+                    hp, sess_ids, sess_idx=s_idx, data_key='labels_sc')['latents']]
+    raise NotImplementedError
+
+
 def get_input_range(input_type, hparams, sess_ids=None, sess_idx=0, model=None,
                     params=None, data_gen=None, version=0, min_p=5, max_p=95,
                     apply_label_masks=False):
-    """Percentile range of latents / labels / labels_sc (reference :43-146)."""
-    if input_type == 'latents':
-        if isinstance(sess_idx, (list, np.ndarray)):
-            inputs = []
-            for s_idx in sess_idx:
-                latent_file = '%s_%s_%s_%s_latents.pkl' % (
-                    sess_ids[s_idx]['lab'], sess_ids[s_idx]['expt'],
-                    sess_ids[s_idx]['animal'], sess_ids[s_idx]['session'])
-                filename = os.path.join(
-                    hparams['expt_dir'], 'version_%i' % version, latent_file)
-                with open(filename, 'rb') as f:
-                    inputs += pickle.load(f)['latents']
-        else:
-            if sess_ids is not None and sess_idx is not None:
-                latent_file = '%s_%s_%s_%s_latents.pkl' % (
-                    sess_ids[sess_idx]['lab'], sess_ids[sess_idx]['expt'],
-                    sess_ids[sess_idx]['animal'], sess_ids[sess_idx]['session'])
-            else:
-                latent_file = '%s_%s_%s_%s_latents.pkl' % (
-                    hparams['lab'], hparams['expt'], hparams['animal'], hparams['session'])
-            filename = os.path.join(
-                hparams['expt_dir'], 'version_%i' % version, latent_file)
-            if not os.path.exists(filename):
-                from behavenet_tpu.fitting.eval import export_latents
-                print('latents file not found at %s' % filename)
-                print('exporting latents...', end='')
-                filenames = export_latents(data_gen, model, params)
-                filename = filenames[0]
-                print('done')
-            with open(filename, 'rb') as f:
-                inputs = pickle.load(f)['latents']
-    elif input_type == 'labels':
-        if not isinstance(sess_idx, (list, np.ndarray)):
-            sess_idx = [sess_idx]
-        inputs = []
-        for s_idx in sess_idx:
-            labels = load_labels_like_latents(hparams, sess_ids, sess_idx=s_idx)
-            inputs += labels['latents']
-    elif input_type == 'labels_sc':
-        if not isinstance(sess_idx, (list, np.ndarray)):
-            sess_idx = [sess_idx]
-        inputs = []
-        hparams2 = copy.deepcopy(hparams)
-        hparams2['conditional_encoder'] = True
-        for s_idx in sess_idx:
-            labels_sc = load_labels_like_latents(
-                hparams2, sess_ids, sess_idx=s_idx, data_key='labels_sc')
-            inputs += labels_sc['latents']
-    else:
-        raise NotImplementedError
+    """Percentile range of latents / labels / labels_sc across sessions.
+
+    (reference cond_ae_utils.py:43-146 contract: per-dimension min/max/med
+    percentiles over the stacked trial arrays of the requested signal;
+    single-session latents are exported on demand when the pickle is
+    missing; label masks optionally NaN out untracked entries first.)
+    """
+    multi = isinstance(sess_idx, (list, np.ndarray))
+    idxs = list(sess_idx) if multi else [sess_idx]
+    inputs = _collect_trial_arrays(
+        input_type, hparams, sess_ids, idxs, model, params, data_gen, version,
+        export_if_missing=not multi)
 
     if apply_label_masks and input_type == 'labels':
-        if not isinstance(sess_idx, (list, np.ndarray)):
-            sess_idx = [sess_idx]
-        masks = []
-        for s_idx in sess_idx:
-            try:
-                masks += load_labels_like_latents(
-                    hparams, sess_ids, sess_idx=s_idx, data_key='labels_masks')['latents']
-            except KeyError:
-                print('no label masks!')
-                break
-        for i, m in zip(inputs, masks):
-            i[m == 0] = np.nan
+        try:
+            masks = [arr for s_idx in idxs for arr in
+                     load_labels_like_latents(
+                         hparams, sess_ids, sess_idx=s_idx,
+                         data_key='labels_masks')['latents']]
+        except KeyError:
+            print('no label masks!')
+            masks = []
+        for arr, m in zip(inputs, masks):
+            arr[m == 0] = np.nan
 
     return compute_range(inputs, min_p=min_p, max_p=max_p)
 

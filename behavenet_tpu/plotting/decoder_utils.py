@@ -23,45 +23,59 @@ def _get_dataset_str(hparams):
     return os.path.join(hparams['expt'], hparams['animal'], hparams['session'])
 
 
-def get_r2s_by_trial(hparams, model_types):
-    """Load validation metrics from all decoders of a session (reference :32-100)."""
-    dataset = _get_dataset_str(hparams)
-    region_names = get_region_list(hparams)
+def _load_version_metrics(expt_dir, version_name):
+    """metrics.csv rows + scalar meta tags for one version dir, or None."""
+    vdir = os.path.join(expt_dir, version_name)
+    csv_path = os.path.join(vdir, 'metrics.csv')
+    if not os.path.isfile(csv_path):
+        return None
+    df = pd.read_csv(csv_path)
+    with open(os.path.join(vdir, 'meta_tags.pkl'), 'rb') as f:
+        meta = pickle.load(f)
+    for key, val in meta.items():
+        if isinstance(val, (str, int, float)):
+            df[key] = val
+    return df
 
-    metrics = []
-    model_idx = 0
-    for region in region_names:
-        hparams['region'] = region
-        for model_type in model_types:
-            hparams['session_dir'], _ = get_session_dir(
-                hparams, session_source=hparams.get('all_source', 'save'))
-            expt_dir = get_expt_dir(
-                hparams, model_type=model_type, model_class=hparams['model_class'],
-                expt_name=hparams['experiment_name'])
-            try:
-                versions = get_subdirs(expt_dir)
-            except Exception:
-                print('No models in %s; skipping' % expt_dir)
+
+def get_r2s_by_trial(hparams, model_types):
+    """Load validation metrics from all decoders of a session.
+
+    (reference decoder_utils.py:32-100 contract: one metrics.csv worth of
+    rows per trained version across every region x model_type experiment,
+    tagged with dataset/region/model_type columns, scalar meta tags as
+    columns, and a 'version' column made globally unique by giving each
+    region x model_type group its own 10000-aligned block — parsed back
+    with `% 10000` by get_r2s_across_trials.)
+    """
+    dataset = _get_dataset_str(hparams)
+    groups = [(region, mt) for region in get_region_list(hparams)
+              for mt in model_types]
+
+    frames = []
+    for group_idx, (region, model_type) in enumerate(groups):
+        hp = dict(hparams, region=region)
+        hp['session_dir'], _ = get_session_dir(
+            hp, session_source=hp.get('all_source', 'save'))
+        expt_dir = get_expt_dir(
+            hp, model_type=model_type, model_class=hp['model_class'],
+            expt_name=hp['experiment_name'])
+        try:
+            versions = get_subdirs(expt_dir)
+        except Exception:
+            print('No models in %s; skipping' % expt_dir)
+            continue
+        for version_name in versions:
+            df = _load_version_metrics(expt_dir, version_name)
+            if df is None:
                 continue
-            for version in versions:
-                model_dir = os.path.join(expt_dir, version)
-                try:
-                    metric = pd.read_csv(os.path.join(model_dir, 'metrics.csv'))
-                except FileNotFoundError:
-                    continue
-                with open(os.path.join(model_dir, 'meta_tags.pkl'), 'rb') as f:
-                    meta = pickle.load(f)
-                version_num = version[8:]
-                metric['version'] = str('version_%i' % model_idx + version_num)
-                metric['region'] = region
-                metric['dataset'] = dataset
-                metric['model_type'] = model_type
-                for key, val in meta.items():
-                    if isinstance(val, (str, int, float)):
-                        metric[key] = val
-                metrics.append(metric)
-            model_idx += 10000
-    return pd.concat(metrics, sort=False)
+            df['version'] = 'version_%i%s' % (
+                10000 * group_idx, version_name.split('version_')[-1])
+            df['region'] = region
+            df['dataset'] = dataset
+            df['model_type'] = model_type
+            frames.append(df)
+    return pd.concat(frames, sort=False)
 
 
 def get_best_models(metrics_df):
@@ -236,9 +250,6 @@ def plot_neural_reconstruction_traces_wrapper(hparams, save_file=None, trial=Non
                                               xtick_locs=None, frame_rate=None, format='png',
                                               **kwargs):
     """Load AE latents + decoder predictions and plot traces (reference :538-614)."""
-    ae_file = os.path.join(
-        hparams['ae_model_path'] if 'ae_model_path' in hparams else hparams['expt_dir'],
-        'version_%i' % hparams.get('ae_version_int', 0))
     # load from export pickles recorded in decoder meta
     with open(hparams['ae_model_latents_file'], 'rb') as f:
         latents_dict = pickle.load(f)
