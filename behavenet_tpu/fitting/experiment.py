@@ -498,6 +498,24 @@ def get_model_params(hparams):
     else:
         raise NotImplementedError('"%s" is not a valid model class' % model_class)
 
+    # decoder architecture params (reference :739-753): without these, two
+    # decoder grid trials differing only in lags/width would dedup as the
+    # same experiment and the second would be skipped
+    if model_class in ('neural-ae', 'neural-ae-me', 'ae-neural', 'neural-arhmm',
+                       'arhmm-neural', 'neural-labels', 'labels-neural'):
+        hparams_less['learning_rate'] = hparams['learning_rate']
+        hparams_less['n_lags'] = hparams['n_lags']
+        hparams_less['l2_reg'] = hparams['l2_reg']
+        hparams_less['n_hid_layers'] = hparams['n_hid_layers']
+        if hparams['n_hid_layers'] != 0:
+            hparams_less['n_hid_units'] = hparams['n_hid_units']
+        hparams_less['activation'] = hparams['activation']
+        hparams_less['subsample_method'] = hparams['subsample_method']
+        if hparams_less['subsample_method'] != 'none':
+            hparams_less['subsample_idxs_name'] = hparams['subsample_idxs_name']
+            hparams_less['subsample_idxs_group_0'] = hparams['subsample_idxs_group_0']
+            hparams_less['subsample_idxs_group_1'] = hparams['subsample_idxs_group_1']
+
     if model_class in ('neural-ae', 'neural-ae-me', 'ae-neural', 'neural-arhmm',
                        'arhmm-neural', 'neural-labels', 'labels-neural'):
         hparams_less['learning_rate'] = hparams['learning_rate']
