@@ -18,8 +18,14 @@ __version__ = '0.1.0'
 
 
 def get_params_dir():
-    """Return directory holding user config files (``~/.behavenet``)."""
-    return os.path.join(os.path.expanduser('~'), '.behavenet')
+    """Return directory holding user config files.
+
+    ``~/.behavenet`` (reference behavenet/__init__.py:5-8), overridable via
+    the ``BEHAVENET_DIR`` environment variable (useful for tests and
+    multi-profile setups).
+    """
+    return os.environ.get(
+        'BEHAVENET_DIR', os.path.join(os.path.expanduser('~'), '.behavenet'))
 
 
 def get_user_dir(dir_type):
