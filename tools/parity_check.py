@@ -89,4 +89,8 @@ def main(n_steps=200, batch=32, lr=1e-3, report_every=25):
 
 if __name__ == '__main__':
     gap = main()
+    if '--json' in sys.argv:
+        # machine-readable line for bench.py (last line of stdout)
+        import json
+        print(json.dumps({'converged_rel_gap_pct': gap * 100}))
     sys.exit(0 if gap < 0.01 else 1)
