@@ -52,6 +52,10 @@ MODELS_TO_FIT = [
     # the batched precision head under the default shape bucketing
     {'model_class': 'neural-ae', 'model_file': 'decoder', 'sessions': SESSIONS[0],
      'overrides': {'model_type': 'mlp-mv'}},
+    # lstm decoder: implemented + unit-tested here, an unimplemented stub in
+    # the reference (decoders.py:329-353)
+    {'model_class': 'neural-ae', 'model_file': 'decoder', 'sessions': SESSIONS[0],
+     'overrides': {'model_type': 'lstm'}},
     {'model_class': 'neural-ae-me', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-labels', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-arhmm', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
