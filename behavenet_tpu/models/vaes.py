@@ -37,15 +37,16 @@ def reparameterize(key, mu, logvar):
 
 
 def _decomposed_kl(hparams, z, mu, logvar, frame_mask=None):
-    """Dispatch between the XLA estimator and the fused Pallas kernel.
+    """Minibatch KL-decomposition estimators (MI / TC / DWKL).
 
-    ``use_pallas_kl: true`` streams the O(B^2 D) pairwise reduction through
-    VMEM tiles instead of materializing it in HBM — worthwhile for large
-    device batches (SURVEY hard-part: fused single-pass logsumexp).
+    A hand-written Pallas kernel for the O(B^2 D) pairwise reduction was
+    benchmarked against this XLA implementation on TPU v5e and lost at
+    every size including its intended large-batch design point (1.1x at
+    B=1k, 3x at B=4k, 5x at B=8k, D=16): XLA fuses the pairwise logsumexp
+    without materializing the (B, B, D) intermediate, so the kernel's
+    HBM-capping rationale never binds. The kernel was removed; the
+    measurement lives in docs/tpu_design.md.
     """
-    if hparams.get('use_pallas_kl', False):
-        from behavenet_tpu.ops.pallas.kl_kernels import decomposed_kl_pallas
-        return decomposed_kl_pallas(z, mu, logvar, frame_mask=frame_mask)
     return losses.decomposed_kl(z, mu, logvar, frame_mask=frame_mask)
 
 
