@@ -273,6 +273,17 @@ def measure_parity():
 
 
 def main():
+    # total wall budget: cold tunnel compiles dominate (~3-7 min per new
+    # graph); later stages are skipped rather than risk the whole run being
+    # killed before the JSON line is printed. Reference numbers measured on
+    # v5e this round: streamed host-staging 0.8-1.9 GB/s, EM 167.7 iters/s,
+    # parity gap 0.00063%.
+    budget = float(os.environ.get('BENCH_BUDGET_S', 2700))
+    t_start = time.time()
+
+    def elapsed():
+        return time.time() - t_start
+
     # 1. compute throughput (primary BASELINE metric)
     results = {}
     for batch, spd in ((189, 1), (189, 8), (1024, 1)):
@@ -288,29 +299,38 @@ def main():
 
     # 2. streamed end-to-end training
     streamed = None
-    try:
-        s_fps, host_gbps, frames_per_epoch = measure_streamed()
-        streamed = {
-            'frames_per_sec': round(s_fps, 1),
-            'host_staging_gb_per_sec': round(host_gbps, 3),
-            'frames_per_epoch': frames_per_epoch,
-        }
-    except Exception as e:
-        print('streamed bench failed: %s' % e, file=sys.stderr)
+    if elapsed() < 0.55 * budget:
+        try:
+            s_fps, host_gbps, frames_per_epoch = measure_streamed()
+            streamed = {
+                'frames_per_sec': round(s_fps, 1),
+                'host_staging_gb_per_sec': round(host_gbps, 3),
+                'frames_per_epoch': frames_per_epoch,
+            }
+        except Exception as e:
+            print('streamed bench failed: %s' % e, file=sys.stderr)
+    else:
+        print('skipping streamed bench (%.0fs elapsed)' % elapsed(), file=sys.stderr)
 
     # 3. ARHMM EM rate
     em_ips = None
-    try:
-        em_ips = round(measure_arhmm_em(), 2)
-    except Exception as e:
-        print('arhmm EM bench failed: %s' % e, file=sys.stderr)
+    if elapsed() < 0.7 * budget:
+        try:
+            em_ips = round(measure_arhmm_em(), 2)
+        except Exception as e:
+            print('arhmm EM bench failed: %s' % e, file=sys.stderr)
+    else:
+        print('skipping EM bench (%.0fs elapsed)' % elapsed(), file=sys.stderr)
 
     # 4. torch parity (CPU subprocess)
     parity = None
-    try:
-        parity = round(measure_parity(), 5)
-    except Exception as e:
-        print('parity check failed: %s' % e, file=sys.stderr)
+    if elapsed() < 0.85 * budget:
+        try:
+            parity = round(measure_parity(), 5)
+        except Exception as e:
+            print('parity check failed: %s' % e, file=sys.stderr)
+    else:
+        print('skipping parity check (%.0fs elapsed)' % elapsed(), file=sys.stderr)
 
     print(json.dumps({
         'metric': 'AE train frames/sec/chip (128x128, batch %d)' % best_batch,
