@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from behavenet_tpu.ops import conv as ops
@@ -151,3 +152,56 @@ class TestActivations:
         x = jnp.array([-2.0, -0.5, 0.0, 1.5])
         out = np.asarray(ops.leaky_relu(x))
         assert np.allclose(out, [-0.1, -0.025, 0.0, 1.5])
+
+
+class TestGradWS2d:
+    """Custom conv2d VJP for tiny-Cin strided layers (s2d grad-w regrouping).
+
+    The space-to-depth phase regrouping must be mathematically exact — the
+    lowering is chosen per layer shape at trace time, so both grads are
+    checked bit-for-bit against plain autodiff of the reference conv.
+    """
+
+    @pytest.mark.parametrize('cfg', [
+        # (H, W, ci, co, k, s, pad_y, pad_x) — enc1-like + asymmetric + k3 + s4
+        (16, 12, 1, 8, 5, 2, (1, 2), (1, 2)),
+        (16, 16, 2, 4, 5, 2, (2, 1), (1, 2)),
+        (12, 12, 1, 3, 3, 2, (0, 1), (0, 1)),
+        (16, 16, 1, 4, 5, 4, (1, 2), (1, 2)),
+    ])
+    def test_grads_match_autodiff(self, cfg):
+        H, W, ci, co, k, s, py, px = cfg
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, H, W, ci).astype('f'))
+        w = jnp.asarray(rng.randn(k, k, ci, co).astype('f'))
+        # the guard must actually route this shape through the custom VJP
+        assert ci * s * s <= 16
+
+        def ref(x_, w_):
+            return jax.lax.conv_general_dilated(
+                x_, w_, (s, s), (py, px),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        def loss_custom(x_, w_):
+            return jnp.sum(ops.conv2d(x_, w_, None, s, py, px) ** 2)
+
+        def loss_ref(x_, w_):
+            return jnp.sum(ref(x_, w_).astype(jnp.float32) ** 2)
+
+        assert np.allclose(np.asarray(ops.conv2d(x, w, None, s, py, px)),
+                           np.asarray(ref(x, w)), atol=1e-5)
+        g1 = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+        g0 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        assert np.abs(np.asarray(g1[0]) - np.asarray(g0[0])).max() < 1e-4
+        assert np.abs(np.asarray(g1[1]) - np.asarray(g0[1])).max() < 1e-4
+
+    def test_odd_spatial_falls_back(self):
+        """Shapes the regrouping cannot express use the default lowering."""
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 15, 15, 1).astype('f'))  # odd: oh*s != h
+        w = jnp.asarray(rng.randn(5, 5, 1, 4).astype('f'))
+        out = ops.conv2d(x, w, None, 2, (1, 2), (1, 2))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((1, 2), (1, 2)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
