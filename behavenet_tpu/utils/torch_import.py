@@ -19,7 +19,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ['load_torch_ae_checkpoint', 'torch_state_dict_to_params']
+__all__ = ['load_torch_ae_checkpoint', 'torch_state_dict_to_params',
+           'params_to_torch_state_dict', 'save_torch_ae_checkpoint']
 
 
 def _chw_to_hwc_perm(c, h, w):
@@ -158,6 +159,139 @@ def torch_state_dict_to_params(state_dict, model, params):
             new['decoder'] = {'b': jnp.asarray(sd['decoding.bias'][perm])}
 
     return new
+
+
+def params_to_torch_state_dict(model, params):
+    """Export a params pytree as a reference-named torch state dict.
+
+    Exact inverse of :func:`torch_state_dict_to_params`: tensors come back
+    in the reference's layouts ((O, I, kh, kw) convs, (I, O, kh, kw)
+    conv-transposes, channel-major dense flattening) under the reference's
+    module names (behavenet/models/aes.py builds ``encoding.encoder.conv%i``
+    etc.; base.py:61-63 saves that naming), so the produced dict loads into
+    a reference model with ``load_state_dict`` and lets trained models
+    round-trip back into the torch ecosystem.
+
+    Returns a dict of str -> np.ndarray (f32; ``num_batches_tracked`` int64).
+    """
+    hp = model.hparams
+    sd = {}
+
+    def to_np(x):
+        return np.asarray(jnp.asarray(x), dtype=np.float32)
+
+    enc = params.get('encoder', {})
+    dec = params.get('decoder', {})
+
+    # ---- linear AE (params are a flat {'w','b'} encoder, tied decoder)
+    if isinstance(enc, dict) and 'w' in enc and 'fc' not in enc:
+        c, h, w = model.img_size
+        perm = _chw_to_hwc_perm(c, h, w)
+        wt = np.empty_like(to_np(enc['w']).T)      # (n_latents, chw)
+        wt[:, perm] = to_np(enc['w']).T
+        sd['encoding.encoder.weight'] = wt
+        sd['encoding.encoder.bias'] = to_np(enc['b'])
+        if isinstance(dec, dict) and 'b' in dec:
+            bt = np.empty_like(to_np(dec['b']))
+            bt[perm] = to_np(dec['b'])
+            sd['decoding.bias'] = bt
+        return sd
+
+    # ---- encoder convs
+    conv_specs = [s for s in model.encoding.layers if s['type'] == 'conv']
+    for g, spec in enumerate(conv_specs):
+        p = enc.get(spec['name'])
+        if p is not None:
+            sd['encoding.encoder.conv%i.weight' % g] = \
+                np.transpose(to_np(p['w']), (3, 2, 0, 1))
+            sd['encoding.encoder.conv%i.bias' % g] = to_np(p['b'])
+
+    # ---- batch-norm layers
+    for group, module, prefix in (('encoder', model.encoding, 'encoding.encoder'),
+                                  ('decoder', getattr(model, 'decoding', None),
+                                   'decoding.decoder')):
+        if module is None or not hasattr(module, 'layers'):
+            continue
+        src = params.get(group, {})
+        bn_specs = [s for s in module.layers if s['type'] == 'bn']
+        for g, spec in enumerate(bn_specs):
+            p = src.get(spec['name'])
+            if p is None:
+                continue
+            sd['%s.batchnorm%i.weight' % (prefix, g)] = to_np(p['gamma'])
+            sd['%s.batchnorm%i.bias' % (prefix, g)] = to_np(p['beta'])
+            if 'running_mean' in p:
+                sd['%s.batchnorm%i.running_mean' % (prefix, g)] = \
+                    to_np(p['running_mean'])
+                sd['%s.batchnorm%i.running_var' % (prefix, g)] = \
+                    to_np(p['running_var'])
+                sd['%s.batchnorm%i.num_batches_tracked' % (prefix, g)] = \
+                    np.int64(np.asarray(p['num_batches']))
+
+    # ---- encoder FF (+ logvar): permute input dims HWC -> CHW
+    c_last = hp['ae_encoding_n_channels'][-1]
+    h_last = hp['ae_encoding_y_dim'][-1]
+    w_last = hp['ae_encoding_x_dim'][-1]
+    perm_in = _chw_to_hwc_perm(c_last, h_last, w_last)
+    for tname, pname in (('FF', 'fc'), ('logvar', 'logvar')):
+        p = enc.get(pname)
+        if isinstance(p, dict) and 'w' in p:
+            wt = np.empty_like(to_np(p['w']).T)    # (n_latents, fc_in_chw)
+            wt[:, perm_in] = to_np(p['w']).T
+            sd['encoding.%s.weight' % tname] = wt
+            sd['encoding.%s.bias' % tname] = to_np(p['b'])
+
+    # ---- decoder FF: permute output dims HWC -> CHW
+    c0, h0, w0 = hp['ae_decoding_starting_dim']
+    perm_out = _chw_to_hwc_perm(c0, h0, w0)
+    p = dec.get('fc')
+    if isinstance(p, dict) and 'w' in p:
+        wt = np.empty_like(to_np(p['w']).T)        # (first_conv_chw, hidden)
+        wt[perm_out, :] = to_np(p['w']).T
+        bt = np.empty_like(to_np(p['b']))
+        bt[perm_out] = to_np(p['b'])
+        sd['decoding.FF.weight'] = wt
+        sd['decoding.FF.bias'] = bt
+
+    # ---- decoder conv-transposes
+    convt_specs = [s for s in model.decoding.layers if s['type'] == 'convtranspose']
+    for g, spec in enumerate(convt_specs):
+        p = dec.get(spec['name'])
+        if p is not None:
+            sd['decoding.decoder.convtranspose%i.weight' % g] = \
+                np.transpose(to_np(p['w']), (2, 3, 0, 1))
+            sd['decoding.decoder.convtranspose%i.bias' % g] = to_np(p['b'])
+
+    # ---- AEMSP projection / U
+    if 'projection' in params:
+        sd['projection.weight'] = to_np(params['projection']['w']).T
+    if 'U' in params:
+        sd['U.weight'] = to_np(params['U'])
+
+    # ---- PS-VAE heads
+    for name in ('A', 'B', 'C'):
+        if name in enc:
+            sd['encoding.%s.weight' % name] = to_np(enc[name]).T
+    if 'C_b' in enc:
+        sd['encoding.C.bias'] = to_np(enc['C_b'])
+    if 'D' in enc and isinstance(enc['D'], dict):
+        sd['encoding.D.weight'] = to_np(enc['D']['d'])
+        sd['encoding.D.bias'] = to_np(enc['D']['b'])
+
+    return sd
+
+
+def save_torch_ae_checkpoint(filepath, model, params):
+    """Save params as a torch ``state_dict`` file the reference can load.
+
+    The reference loads checkpoints with ``model.load_state_dict(torch.load(
+    filepath))`` (fitting/utils.py:944-1063); this writes that format.
+    """
+    import torch
+    # np.array copies: jax-backed buffers are read-only, torch wants writable
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in params_to_torch_state_dict(model, params).items()}
+    torch.save(sd, filepath)
 
 
 def load_torch_ae_checkpoint(filepath, model, params):

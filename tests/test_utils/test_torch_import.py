@@ -1,6 +1,7 @@
 """Torch checkpoint import: forward parity against an equivalent torch model."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -10,7 +11,8 @@ import jax.numpy as jnp
 
 from behavenet_tpu.models import AE
 from behavenet_tpu.models import arch as arch_mod
-from behavenet_tpu.utils.torch_import import torch_state_dict_to_params
+from behavenet_tpu.utils.torch_import import (params_to_torch_state_dict,
+                                              torch_state_dict_to_params)
 
 
 def build_hparams(img=(1, 32, 24), n_latents=5, **extra):
@@ -362,3 +364,74 @@ class TestBatchNormParity:
         np.testing.assert_allclose(
             np.asarray(y_jax), np.transpose(y_t.numpy(), (0, 2, 3, 1)),
             rtol=1e-3, atol=1e-4)
+
+
+def _load_reference_named(ref, sd):
+    """Load a reference-named state dict into a TorchRefAE instance."""
+    renamed = {}
+    for k, v in sd.items():
+        k2 = (k.replace('encoding.encoder.', 'enc.')
+               .replace('decoding.decoder.', 'dec.')
+               .replace('encoding.FF.', 'FF_enc.')
+               .replace('decoding.FF.', 'FF_dec.'))
+        renamed[k2] = torch.as_tensor(np.asarray(v))
+    ref.load_state_dict(renamed)
+
+
+class TestTorchExport:
+    """params -> reference state dict: the inverse of the import mapping."""
+
+    @pytest.mark.parametrize('bn', [0, 1])
+    def test_roundtrip_export_import(self, bn):
+        """export(params) imported into a differently-seeded init == params."""
+        hp = build_hparams(ae_batch_norm=bn)
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(7))
+        sd = params_to_torch_state_dict(model, params)
+        other = model.init(jax.random.PRNGKey(8))  # every mapped leaf differs
+        back = torch_state_dict_to_params(sd, model, other)
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+        assert len(flat_a) == len(flat_b)
+        for path, leaf in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(leaf, dtype=np.float32),
+                np.asarray(flat_b[path], dtype=np.float32),
+                rtol=1e-6, atol=1e-6, err_msg=str(path))
+
+    def test_exported_weights_drive_torch_forward(self):
+        """A torch model loaded from the export reproduces the jax forward."""
+        hp = build_hparams()
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(3))
+        torch.manual_seed(0)
+        ref = TorchRefAE(hp).eval()
+        _load_reference_named(ref, params_to_torch_state_dict(model, params))
+
+        rs = np.random.RandomState(5)
+        x = rs.rand(4, 32, 24, 1).astype(np.float32)
+        y_jax, z_jax = model.forward(params, jnp.asarray(x))
+        with torch.no_grad():
+            y_t, z_t = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(np.asarray(z_jax), z_t.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(y_jax), np.transpose(y_t.numpy(), (0, 2, 3, 1)),
+            rtol=1e-4, atol=1e-5)
+
+    def test_save_checkpoint_file(self, tmp_path):
+        """save_torch_ae_checkpoint writes a torch.load-able state dict."""
+        from behavenet_tpu.utils.torch_import import (load_torch_ae_checkpoint,
+                                                      save_torch_ae_checkpoint)
+        hp = build_hparams(ae_batch_norm=1)
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(1))
+        fp = str(tmp_path / 'best_val_model.pt')
+        save_torch_ae_checkpoint(fp, model, params)
+        sd = torch.load(fp, map_location='cpu')
+        assert sd['encoding.encoder.batchnorm0.num_batches_tracked'].dtype == torch.int64
+        other = model.init(jax.random.PRNGKey(2))
+        back = load_torch_ae_checkpoint(fp, model, other)
+        np.testing.assert_allclose(
+            np.asarray(back['encoder']['conv_0']['w']),
+            np.asarray(params['encoder']['conv_0']['w']), rtol=1e-6)
