@@ -17,9 +17,12 @@ from behavenet_tpu.utils.torch_import import (params_to_torch_state_dict,
 
 def build_hparams(img=(1, 32, 24), n_latents=5, **extra):
     a = arch_mod.load_handcrafted_arch(list(img), n_latents, None, check_memory=False)
-    return dict(a, model_class='ae', model_type='conv', n_ae_latents=n_latents,
-                n_input_channels=img[0], y_pixels=img[1], x_pixels=img[2],
-                rng_seed_model=0, **extra)
+    hp = dict(a, model_type='conv', n_ae_latents=n_latents,
+              n_input_channels=img[0], y_pixels=img[1], x_pixels=img[2],
+              rng_seed_model=0)
+    hp['model_class'] = 'ae'
+    hp.update(extra)
+    return hp
 
 
 class TorchRefAE(nn.Module):
@@ -435,3 +438,42 @@ class TestTorchExport:
         np.testing.assert_allclose(
             np.asarray(back['encoder']['conv_0']['w']),
             np.asarray(params['encoder']['conv_0']['w']), rtol=1e-6)
+
+
+class TestTorchExportHeads:
+    """Round-trip of the non-AE heads (VAE logvar, PS-VAE A/B/D, AEMSP U)."""
+
+    def _roundtrip(self, model, params):
+        sd = params_to_torch_state_dict(model, params)
+        other = jax.tree_util.tree_map(lambda x: x + 1.0,
+                                       model.init(jax.random.PRNGKey(11)))
+        back = torch_state_dict_to_params(sd, model, other)
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+        assert len(flat_a) == len(flat_b)
+        for path, leaf in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(leaf, dtype=np.float32),
+                np.asarray(flat_b[path], dtype=np.float32),
+                rtol=1e-6, atol=1e-6, err_msg=str(path))
+
+    def test_vae(self):
+        from behavenet_tpu.models import VAE
+        hp = build_hparams(model_class='vae')
+        hp['vae.beta'] = 1.0
+        model = VAE(hp)
+        self._roundtrip(model, model.init(jax.random.PRNGKey(4)))
+
+    def test_psvae(self):
+        from behavenet_tpu.models import PSVAE
+        hp = build_hparams(model_class='ps-vae', n_labels=2, n_background=0)
+        hp['ps_vae.beta'] = 1.0
+        hp['ps_vae.alpha'] = 1.0
+        model = PSVAE(hp)
+        self._roundtrip(model, model.init(jax.random.PRNGKey(5)))
+
+    def test_aemsp(self):
+        from behavenet_tpu.models import AEMSP
+        hp = build_hparams(model_class='cond-ae-msp', n_labels=2)
+        model = AEMSP(hp)
+        self._roundtrip(model, model.init(jax.random.PRNGKey(6)))
