@@ -248,21 +248,39 @@ class ARHMM:
             return log_Z
         return jnp.sum(jax.vmap(one)(x, mask))
 
-    def most_likely_states(self, data):
-        """Viterbi path for one trial (T,) (ssm.HMM API)."""
+    def most_likely_states(self, data, mesh=None):
+        """Viterbi path for one trial (T,) (ssm.HMM API).
+
+        With ``mesh`` (a ``jax.sharding.Mesh`` with an ``'sp'`` axis) the
+        (max, +) scans run sequence-parallel across the mesh's chips
+        (``parallel.seq.sp_viterbi``) — for single very long sessions.
+        """
         x = jnp.asarray(np.asarray(data, dtype=self.np_dtype))
         mask = jnp.ones(x.shape[0], dtype=self.np_dtype)
         ll = self._log_likes(self.params, x, mask)
         lp = self._log_P(self.params, x, mask)
+        if mesh is not None:
+            from behavenet_tpu.parallel.seq import sp_viterbi
+            return np.asarray(
+                sp_viterbi(self.params['log_pi0'], lp, ll, mask, mesh=mesh))
         vit = hmm_ops.viterbi_parallel if self.parallel_scan else hmm_ops.viterbi
         return np.asarray(vit(self.params['log_pi0'], lp, ll, mask))
 
-    def expected_states(self, data):
-        """Posterior marginals gamma (T, K) for one trial."""
+    def expected_states(self, data, mesh=None):
+        """Posterior marginals gamma (T, K) for one trial.
+
+        ``mesh`` shards the message passes over the time axis
+        (``parallel.seq.sp_forward_backward``).
+        """
         x = jnp.asarray(np.asarray(data, dtype=self.np_dtype))
         mask = jnp.ones(x.shape[0], dtype=self.np_dtype)
         ll = self._log_likes(self.params, x, mask)
         lp = self._log_P(self.params, x, mask)
+        if mesh is not None:
+            from behavenet_tpu.parallel.seq import sp_forward_backward
+            gamma, _, _ = sp_forward_backward(
+                self.params['log_pi0'], lp, ll, mask, mesh=mesh)
+            return np.asarray(gamma)
         gamma, _, _ = hmm_ops.forward_backward(
             self.params['log_pi0'], lp, ll, mask, parallel=self.parallel_scan)
         return np.asarray(gamma)

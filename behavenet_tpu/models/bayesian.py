@@ -167,7 +167,7 @@ class BayesianDecoder:
         return sum(terms)
 
     def decode(self, ae_predictions, arhmm_predictions=None, smooth=True,
-               parallel=False, as_numpy=True):
+               parallel=False, mesh=None, as_numpy=True):
         """Decode latents + states from neural predictions for one trial.
 
         Parameters
@@ -184,6 +184,11 @@ class BayesianDecoder:
             soft dynamics instead of the sequential IMM filter — preferred
             for very long trials; omits the IMM mixture-spread covariance
             term (negligible when the state posterior is concentrated)
+        mesh : jax.sharding.Mesh, optional
+            a mesh with an ``'sp'`` axis: shard the trial's time axis
+            across its chips — every message pass (forward/backward,
+            Viterbi, Kalman filter/smoother) runs sequence-parallel via
+            ``parallel.seq``. Implies ``parallel=True``.
         as_numpy : bool
             fetch results to host numpy arrays (default). Pass False to
             keep them on device when further JAX computation follows.
@@ -211,6 +216,8 @@ class BayesianDecoder:
         # one combined program at T~100k is disproportionately expensive to
         # compile (three associative scans in one graph) for no run-time win.
         par_scan = bool(parallel or self.arhmm.parallel_scan)
+        if mesh is not None:
+            parallel = True
         log_pi0 = self.arhmm.params['log_pi0']
 
         def loglik(y_d, m_d, q_d):
@@ -221,11 +228,18 @@ class BayesianDecoder:
             return ll, log_P
 
         def fb(ll, log_P):
+            if mesh is not None:
+                from behavenet_tpu.parallel.seq import sp_forward_backward
+                gamma, _, _ = sp_forward_backward(log_pi0, log_P, ll, mesh=mesh)
+                return gamma
             gamma, _, _ = hmm_ops.forward_backward(
                 log_pi0, log_P, ll, parallel=par_scan)
             return gamma
 
         def vit(ll, log_P):
+            if mesh is not None:
+                from behavenet_tpu.parallel.seq import sp_viterbi
+                return sp_viterbi(log_pi0, log_P, ll, mesh=mesh)
             f = hmm_ops.viterbi_parallel if par_scan else hmm_ops.viterbi
             return f(log_pi0, log_P, ll)
 
@@ -238,14 +252,15 @@ class BayesianDecoder:
                 lambda y_d, m_d: loglik(y_d, m_d, None))(y, obs_mask)
         else:
             ll, log_P = self._jitted(('loglik', y.shape), loglik)(y, obs_mask, q)
-        gamma = self._jitted(('fb', par_scan, y.shape), fb)(ll, log_P)
-        states = self._jitted(('viterbi', par_scan, y.shape), vit)(ll, log_P)
+        gamma = self._jitted(('fb', par_scan, mesh, y.shape), fb)(ll, log_P)
+        states = self._jitted(
+            ('viterbi', par_scan, mesh, y.shape), vit)(ll, log_P)
 
         if parallel:
             mus_s, Sigmas_s = self._jitted(
-                ('soft-parallel', smooth, y.shape),
+                ('soft-parallel', smooth, mesh, y.shape),
                 lambda y_d, m_d, g_d: self._soft_kalman_parallel(
-                    y_d, m_d, g_d, smooth))(y, obs_mask, gamma)
+                    y_d, m_d, g_d, smooth, mesh=mesh))(y, obs_mask, gamma)
         else:
             def imm(y_d, m_d, g_d):
                 mus_f, Sigmas_f, mus_p, Sigmas_p = self._kalman_filter(y_d, m_d, g_d)
@@ -344,8 +359,12 @@ class BayesianDecoder:
         Sigmas_s = jnp.concatenate([Sigmas_s, Sigmas_f[-1:]], axis=0)
         return mus_s, Sigmas_s
 
-    def _soft_kalman_parallel(self, y, obs_mask, gamma, smooth):
-        """Gamma-weighted time-varying LDS solved with associative scans."""
+    def _soft_kalman_parallel(self, y, obs_mask, gamma, smooth, mesh=None):
+        """Gamma-weighted time-varying LDS solved with associative scans.
+
+        With ``mesh`` the scans run sequence-parallel over the mesh's
+        ``'sp'`` axis (``parallel.seq.sp_kalman_filter/_smooth``).
+        """
         As, bs, Qs = self._aug_dynamics()
         F = jnp.einsum('tk,kde->tde', gamma, As)
         c = jnp.einsum('tk,kd->td', gamma, bs)
@@ -361,6 +380,15 @@ class BayesianDecoder:
         # level); chunking bounds compile time at the 8k-program cost while
         # keeping the run O(T/chunk + log chunk) depth
         chunk = 8192 if y.shape[0] > 8192 else None
+        if mesh is not None:
+            from behavenet_tpu.parallel.seq import (
+                sp_kalman_filter, sp_kalman_smooth)
+            ms, Ps = sp_kalman_filter(
+                F, c, Q, self._H, self.R, y, obs_mask, mu0, Sigma0, mesh,
+                chunk=chunk)
+            if smooth:
+                ms, Ps = sp_kalman_smooth(F, c, Q, ms, Ps, mesh, chunk=chunk)
+            return ms, Ps
         ms, Ps = kalman.filter_parallel(
             F, c, Q, self._H, self.R, y, obs_mask, mu0, Sigma0, chunk=chunk)
         if smooth:

@@ -192,13 +192,9 @@ def _smooth_combine(later, earlier):
     return E, g, L
 
 
-def smooth_parallel(F, c, Q, ms, Ps, chunk=None):
-    """Parallel-prefix RTS smoother over filtered moments (ms, Ps).
-
-    Returns (ms_s, Ps_s); matches :func:`smooth_sequential` up to roundoff.
-    ``chunk`` bounds compile time for very long T.
-    """
-    T, n = ms.shape
+def _smooth_elements(F, c, Q, ms, Ps):
+    """Per-timestep associative smoothing elements (E, g, L)."""
+    n = ms.shape[1]
 
     def make_elem(m_f, P_f, F_n, c_n, Q_n):
         P_pred = _sym(F_n @ P_f @ F_n.T + Q_n)
@@ -212,6 +208,17 @@ def smooth_parallel(F, c, Q, ms, Ps, chunk=None):
     E = jnp.concatenate([E, jnp.zeros((1, n, n))], axis=0)
     g = jnp.concatenate([g, ms[-1:]], axis=0)
     L = jnp.concatenate([L, Ps[-1:]], axis=0)
+    return E, g, L
+
+
+def smooth_parallel(F, c, Q, ms, Ps, chunk=None):
+    """Parallel-prefix RTS smoother over filtered moments (ms, Ps).
+
+    Returns (ms_s, Ps_s); matches :func:`smooth_sequential` up to roundoff.
+    ``chunk`` bounds compile time for very long T.
+    """
+    n = ms.shape[1]
+    E, g, L = _smooth_elements(F, c, Q, ms, Ps)
     if chunk:
         identity = (jnp.eye(n), jnp.zeros(n), jnp.zeros((n, n)))
         E, g, L = _chunked_prefix_scan(
