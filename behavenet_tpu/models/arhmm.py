@@ -128,6 +128,7 @@ class ARHMM:
             self.params['r'] = jnp.zeros((K,), dtype=self.np_dtype)
 
         self._fit_step = None  # compiled EM step cache
+        self._fit_step_sp = None  # compiled sequence-parallel EM step cache
 
     # ---------------------------------------------------- convenience views
     @property
@@ -153,11 +154,13 @@ class ARHMM:
         state = dict(self.__dict__)
         state['params'] = {k: np.asarray(v) for k, v in self.params.items()}
         state['_fit_step'] = None
+        state['_fit_step_sp'] = None
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self.__dict__.setdefault('parallel_scan', False)  # pre-flag pickles
+        self.__dict__.setdefault('_fit_step_sp', None)
         self.__dict__.setdefault('dtype', 'float32')
         self.__dict__.setdefault('np_dtype', np.float32)
         if self.dtype == 'float64' and not jax.config.jax_enable_x64:
@@ -445,7 +448,12 @@ class ARHMM:
 
         gammas, log_Zs, xi_sums = jax.vmap(e_one)(x, mask)  # (N,T,K), (N,), (N,K,K)
         total_ll = jnp.sum(log_Zs)
+        return self._m_step(params, x, mask, gammas, xi_sums), total_ll
 
+    def _m_step(self, params, x, mask, gammas, xi_sums):
+        """All M-step updates from posteriors; shared by the trial-sharded
+        and the sequence-parallel E-steps. Returns the new params dict."""
+        K, D, lags = self.K, self.D, self.lags
         new = dict(params)
 
         # ---- M-step: initial distribution
@@ -517,7 +525,28 @@ class ARHMM:
         if self.robust:
             new['nus'] = self._m_step_nu(params, x, mask, gammas)
 
-        return new, total_ll
+        return new
+
+    def _em_step_sp(self, params, x, mask, mesh):
+        """One EM iteration with every trial's *time axis* sharded over
+        ``mesh`` (first axis). The E-step message passes run through the
+        distributed scans of ``parallel.seq``; the M-step's sufficient
+        statistics are contractions over (trial, time), which XLA lowers
+        to ``psum`` over ICI on the time-sharded operands. For a handful
+        of very long sessions (N small, T huge) — the transpose of the
+        trial-sharded ``fit(mesh=...)`` layout."""
+        from behavenet_tpu.parallel.seq import sp_forward_backward
+        axis = mesh.axis_names[0]
+        outs = [sp_forward_backward(
+                    params['log_pi0'],
+                    self._log_P(params, x[i], mask[i]),
+                    self._log_likes(params, x[i], mask[i]),
+                    mask[i], mesh=mesh, axis_name=axis)
+                for i in range(x.shape[0])]
+        gammas = jnp.stack([o[0] for o in outs])
+        total_ll = sum(o[1] for o in outs)
+        xi_sums = jnp.stack([o[2] for o in outs])
+        return self._m_step(params, x, mask, gammas, xi_sums), total_ll
 
     def _m_step_nu(self, params, x, mask, gammas):
         """Newton update of per-state dof: solve the t-dist EM stationarity
@@ -622,7 +651,7 @@ class ARHMM:
         return new
 
     def fit(self, datas, method='em', num_iters=1, initialize=False, tolerance=0.0,
-            mesh=None):
+            mesh=None, shard_time=False):
         """Run EM iterations (ssm.HMM.fit API subset). Returns per-iter lls.
 
         ``mesh``: optional ``jax.sharding.Mesh`` — trials are sharded across
@@ -632,6 +661,13 @@ class ARHMM:
         The trial count is padded to a mesh multiple with fully-masked
         trials, which are exactly inert in every update (zero posterior
         weight, zero transition counts, log_Z == 0).
+
+        ``shard_time``: with ``mesh``, shard each trial's *time* axis
+        instead of the trial axis (sequence-parallel EM via
+        ``parallel.seq``) — for a handful of sessions too long for one
+        chip. Stationary/sticky transitions only (the recurrent GLM
+        M-step re-runs per-trial message passes that are not
+        time-sharded).
         """
         if method != 'em':
             raise NotImplementedError('only EM fitting is supported')
@@ -640,7 +676,30 @@ class ARHMM:
         if initialize:
             self.initialize(datas)
         x, mask = _pad_datas(datas, self.np_dtype)
-        if mesh is not None:
+        if mesh is not None and shard_time:
+            if self.transitions not in ('stationary', 'sticky'):
+                raise NotImplementedError(
+                    'shard_time EM supports stationary/sticky transitions only')
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            # pad T to a mesh multiple with masked frames (exactly inert:
+            # zero posterior weight, identity chain elements, log_Z fixed)
+            pad_t = (-x.shape[1]) % mesh.devices.size
+            if pad_t:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((x.shape[0], pad_t, x.shape[2]), x.dtype)],
+                    axis=1)
+                mask = jnp.concatenate(
+                    [mask, jnp.zeros((mask.shape[0], pad_t), mask.dtype)],
+                    axis=1)
+            x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+            mask = jax.device_put(mask, NamedSharding(mesh, P(None, axis)))
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+            if self._fit_step_sp is None:
+                self._fit_step_sp = jax.jit(
+                    lambda p, x_d, m_d: self._em_step_sp(p, x_d, m_d, mesh))
+            step = self._fit_step_sp
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             axis = mesh.axis_names[0]
             n_dev = mesh.devices.size
@@ -652,11 +711,16 @@ class ARHMM:
             x = jax.device_put(x, NamedSharding(mesh, P(axis)))
             mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
             self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
-        if self._fit_step is None:
-            self._fit_step = jax.jit(self._em_step)
+            if self._fit_step is None:
+                self._fit_step = jax.jit(self._em_step)
+            step = self._fit_step
+        else:
+            if self._fit_step is None:
+                self._fit_step = jax.jit(self._em_step)
+            step = self._fit_step
         lls = []
         for _ in range(num_iters):
-            self.params, ll = self._fit_step(self.params, x, mask)
+            self.params, ll = step(self.params, x, mask)
             lls.append(float(ll))
             # relative-tolerance convergence stop (ssm HMM.fit semantics; the
             # same rule the CLI applies to val LL, arhmm_grid_search.py)

@@ -177,6 +177,36 @@ class TestBayesianDecoderSequenceParallel:
         np.testing.assert_array_equal(out1['states'], out0['states'])
 
 
+class TestShardTimeEM:
+    """fit(mesh=..., shard_time=True) matches single-device EM."""
+
+    def test_em_equivalence(self, mesh):
+        from behavenet_tpu.models.arhmm import ARHMM
+        rng = np.random.RandomState(0)
+        datas = [rng.randn(157, 2).astype(np.float32) for _ in range(2)]
+
+        h0 = ARHMM(K=3, D=2, observations='ar', rng_seed=0)
+        h0.initialize(datas)
+        lls0 = h0.fit(datas, num_iters=3)
+
+        h1 = ARHMM(K=3, D=2, observations='ar', rng_seed=0)
+        h1.initialize(datas)
+        lls1 = h1.fit(datas, num_iters=3, mesh=mesh, shard_time=True)
+
+        np.testing.assert_allclose(lls1, lls0, rtol=1e-4)
+        for key in ('As', 'bs', 'Sigmas', 'log_Ps', 'log_pi0'):
+            np.testing.assert_allclose(
+                np.asarray(h1.params[key]), np.asarray(h0.params[key]),
+                rtol=1e-3, atol=1e-4, err_msg=key)
+
+    def test_recurrent_raises(self, mesh):
+        from behavenet_tpu.models.arhmm import ARHMM
+        h = ARHMM(K=2, D=2, observations='ar', transitions='recurrent',
+                  rng_seed=0)
+        with pytest.raises(NotImplementedError):
+            h.fit([np.zeros((40, 2), np.float32)], mesh=mesh, shard_time=True)
+
+
 class TestARHMMSequenceParallel:
     """ARHMM single-trial inference with mesh= matches the scalar path."""
 
