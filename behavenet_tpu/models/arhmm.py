@@ -288,6 +288,31 @@ class ARHMM:
             self.params['log_pi0'], lp, ll, mask, parallel=self.parallel_scan)
         return np.asarray(gamma)
 
+    def posterior_sample(self, data, key=None, mesh=None):
+        """Draw a state path z ~ p(z | data) for one trial (T,) int32.
+
+        Forward-filter backward-sample with the backward pass realized as
+        presampled predecessor maps composed by the pointer-doubling
+        suffix scan (``ops.hmm.sample_posterior``) — with
+        ``parallel_scan`` (or ``mesh``) the whole draw is parallel-depth
+        on device, where the reference's ssm samples sequentially on the
+        host. ``mesh`` shards the time axis
+        (``parallel.seq.sp_sample_posterior``).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        x = jnp.asarray(np.asarray(data, dtype=self.np_dtype))
+        mask = jnp.ones(x.shape[0], dtype=self.np_dtype)
+        ll = self._log_likes(self.params, x, mask)
+        lp = self._log_P(self.params, x, mask)
+        if mesh is not None:
+            from behavenet_tpu.parallel.seq import sp_sample_posterior
+            return np.asarray(sp_sample_posterior(
+                key, self.params['log_pi0'], lp, ll, mask, mesh=mesh))
+        return np.asarray(hmm_ops.sample_posterior(
+            key, self.params['log_pi0'], lp, ll, mask,
+            parallel=self.parallel_scan))
+
     def permute(self, perm):
         """Relabel states by ``perm`` (ssm.HMM API; usage-sorting in the CLI)."""
         perm = np.asarray(perm)

@@ -26,7 +26,7 @@ from jax.scipy.special import logsumexp
 
 __all__ = ['forward', 'forward_parallel', 'backward', 'backward_parallel',
            'forward_backward', 'viterbi', 'viterbi_parallel',
-           'sample_states', 'expected_transitions']
+           'sample_states', 'sample_posterior', 'expected_transitions']
 
 
 def _get_log_P(log_P, t):
@@ -262,14 +262,68 @@ def viterbi_parallel(log_pi0, log_P, log_lik, mask=None):
     # (an associative suffix scan over K-vectors of indices) give every
     # z_t = C_t[z_T] at O(log T) depth instead of a T-step scan — the
     # sequential backtrace dominated Viterbi wall time at T~100k
-    def _compose(later, earlier):
-        # suffix-scan convention: first arg is the accumulated later
-        # suffix S, second the earlier element e; (e o S)[k] = e[S[k]]
-        return jnp.take_along_axis(earlier, later, axis=-1)
-
-    comp = _prefix(_compose, psi, jnp.arange(K, dtype=jnp.int32),
+    comp = _prefix(_compose_maps, psi, jnp.arange(K, dtype=jnp.int32),
                    reverse=True)                              # (T-1, K)
     zs = comp[:, z_T]
+    return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
+
+
+def _compose_maps(later, earlier):
+    """Index-map composition monoid for backtrace/backward-sample scans.
+
+    Suffix-scan convention: first arg is the accumulated later suffix S,
+    second the earlier element e; (e o S)[k] = e[S[k]]. Identity is iota.
+    """
+    return jnp.take_along_axis(earlier, later, axis=-1)
+
+
+def sample_posterior(key, log_pi0, log_P, log_lik, mask=None, parallel=False):
+    """Draw z ~ p(z | observations): forward filter, backward sample (FFBS).
+
+    The backward pass presamples, for every timestep and every possible
+    successor state k, a predecessor  psi_t(k) ~ p(z_t | z_{t+1}=k, x_{1:t})
+    (one batched categorical draw — each map entry uses independent Gumbel
+    noise and only the entry at the realized successor is ever consumed, so
+    the composed path has exactly the FFBS joint distribution). The
+    realized path is then the same index-map composition as the Viterbi
+    backtrace: a T-step integer scan, or with ``parallel=True`` the
+    pointer-doubling suffix scan at O(log T) depth — making the *entire*
+    posterior draw parallel-depth, where the reference's ssm samples
+    sequentially on the host. Masked steps carry the state through
+    unchanged. Returns (T,) int32.
+    """
+    log_pi0 = jnp.asarray(log_pi0)
+    log_P = jnp.asarray(log_P)
+    log_lik = jnp.asarray(log_lik)
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = jnp.asarray(mask).astype(log_lik.dtype)
+
+    fwd = forward_parallel if parallel else forward
+    log_alpha, _ = fwd(log_pi0, log_P, log_lik, mask)
+
+    lp = jnp.broadcast_to(log_P[None], (T - 1, K, K)) if log_P.ndim == 2 \
+        else log_P
+    k_last, k_maps = jax.random.split(key)
+    z_T = jax.random.categorical(k_last, log_alpha[-1]).astype(jnp.int32)
+
+    # logits over the predecessor, batched over (t, successor)
+    logits = jnp.swapaxes(log_alpha[:-1, :, None] + lp, 1, 2)  # (T-1, to, from)
+    psi = jax.random.categorical(k_maps, logits, axis=-1).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T - 1, K), 1)
+    psi = jnp.where(mask[1:, None] > 0, psi, idx)              # (T-1, K)
+
+    if parallel:
+        comp = _prefix(_compose_maps, psi, jnp.arange(K, dtype=jnp.int32),
+                       reverse=True)
+        zs = comp[:, z_T]
+    else:
+        def back(z_next, ptrs_t):
+            z = ptrs_t[z_next]
+            return z, z
+
+        _, zs = lax.scan(back, z_T, psi, reverse=True)
     return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
 
 

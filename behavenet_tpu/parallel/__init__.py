@@ -3,5 +3,5 @@
 from behavenet_tpu.parallel.mesh import (  # noqa
     make_mesh, shard_batch, replicate, make_dp_train_functions)
 from behavenet_tpu.parallel.seq import (  # noqa
-    sp_scan, sp_forward_backward, sp_viterbi,
+    sp_scan, sp_forward_backward, sp_viterbi, sp_sample_posterior,
     sp_kalman_filter, sp_kalman_smooth)

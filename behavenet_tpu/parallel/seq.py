@@ -38,7 +38,7 @@ from behavenet_tpu.ops.scans import chunked_prefix_scan
 from behavenet_tpu.ops import hmm as hmm_ops
 
 __all__ = ['sp_scan', 'sp_forward_backward', 'sp_viterbi',
-           'sp_kalman_filter', 'sp_kalman_smooth']
+           'sp_sample_posterior', 'sp_kalman_filter', 'sp_kalman_smooth']
 
 _tmap = jax.tree_util.tree_map
 
@@ -197,11 +197,46 @@ def sp_viterbi(log_pi0, log_P, log_lik, mask=None, mesh=None, axis_name='sp'):
 
     z_T = jnp.argmax(delta[-1]).astype(jnp.int32)
 
-    def _compose(later, earlier):
-        return jnp.take_along_axis(earlier, later, axis=-1)
+    comp = sp_scan(hmm_ops._compose_maps, psi, jnp.arange(K, dtype=jnp.int32),
+                   mesh, axis_name=axis_name, reverse=True)
+    zs = comp[:, z_T]
+    return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
 
-    comp = sp_scan(_compose, psi, jnp.arange(K, dtype=jnp.int32), mesh,
-                   axis_name=axis_name, reverse=True)
+
+def sp_sample_posterior(key, log_pi0, log_P, log_lik, mask=None, mesh=None,
+                        axis_name='sp'):
+    """FFBS posterior draw with both passes time-sharded over ``mesh``.
+
+    Same construction as ``ops.hmm.sample_posterior(parallel=True)`` — the
+    filtered-alpha prefix and the presampled predecessor-map composition
+    both run through :func:`sp_scan`. Returns (T,) int32.
+    """
+    T, K = log_lik.shape
+    if mask is None:
+        mask = jnp.ones(T)
+    mask = mask.astype(log_lik.dtype)
+
+    lp = jnp.broadcast_to(log_P[None], (T - 1, K, K)) if log_P.ndim == 2 else log_P
+    Ms = lp + (log_lik[1:] * mask[1:, None])[:, None, :]
+    identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
+    Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
+
+    prefix = sp_scan(hmm_ops._log_matmul, Ms, identity, mesh,
+                     axis_name=axis_name)
+    alpha0 = log_pi0 + log_lik[0] * mask[0]
+    from jax.scipy.special import logsumexp
+    alphas = logsumexp(alpha0[None, :, None] + prefix, axis=1)
+    log_alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+
+    k_last, k_maps = jax.random.split(key)
+    z_T = jax.random.categorical(k_last, log_alpha[-1]).astype(jnp.int32)
+    logits = jnp.swapaxes(log_alpha[:-1, :, None] + lp, 1, 2)
+    psi = jax.random.categorical(k_maps, logits, axis=-1).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T - 1, K), 1)
+    psi = jnp.where(mask[1:, None] > 0, psi, idx)
+
+    comp = sp_scan(hmm_ops._compose_maps, psi, jnp.arange(K, dtype=jnp.int32),
+                   mesh, axis_name=axis_name, reverse=True)
     zs = comp[:, z_T]
     return jnp.concatenate([zs, z_T[None]], axis=0).astype(jnp.int32)
 

@@ -123,6 +123,75 @@ class TestSampling:
         assert set(np.unique(zs)) <= {0, 1}
 
 
+class TestSamplePosterior:
+
+    def test_marginals_match_smoothed_posteriors(self):
+        """Empirical state frequencies over many FFBS draws ≈ gamma."""
+        import jax
+        log_pi0, log_P, log_lik = map(
+            jnp.array, _random_problem(T=6, K=3, seed=3))
+        gamma, _, _ = hmm_ops.forward_backward(log_pi0, log_P, log_lik)
+        n = 4000
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        draw = jax.jit(jax.vmap(
+            lambda k: hmm_ops.sample_posterior(k, log_pi0, log_P, log_lik)))
+        zs = np.asarray(draw(keys))  # (n, T)
+        freq = np.stack([(zs == k).mean(axis=0) for k in range(3)], axis=1)
+        np.testing.assert_allclose(freq, np.asarray(gamma), atol=0.04)
+
+    def test_pairwise_match_smoothed_transitions(self):
+        """Joint (z_t, z_{t+1}) frequencies ≈ the smoothed xi posteriors —
+        the map-composition draw gets the couplings right, not just the
+        marginals."""
+        import jax
+        log_pi0, log_P, log_lik = _random_problem(T=4, K=2, seed=5)
+        # exact pairwise posterior by brute force over all K^T paths
+        T, K = log_lik.shape
+        from itertools import product
+        joint = np.zeros((T - 1, K, K))
+        tot = 0.0
+        for path in product(range(K), repeat=T):
+            lp = log_pi0[path[0]] + log_lik[0, path[0]]
+            for t in range(1, T):
+                lp += log_P[path[t - 1], path[t]] + log_lik[t, path[t]]
+            w = np.exp(lp)
+            tot += w
+            for t in range(T - 1):
+                joint[t, path[t], path[t + 1]] += w
+        joint /= tot
+        n = 6000
+        keys = jax.random.split(jax.random.PRNGKey(1), n)
+        zs = np.asarray(jax.jit(jax.vmap(
+            lambda k: hmm_ops.sample_posterior(
+                k, log_pi0, log_P, log_lik)))(keys))
+        emp = np.zeros_like(joint)
+        for t in range(T - 1):
+            for i in range(K):
+                for j in range(K):
+                    emp[t, i, j] = np.mean((zs[:, t] == i) & (zs[:, t + 1] == j))
+        np.testing.assert_allclose(emp, joint, atol=0.04)
+
+    def test_parallel_identical_draws(self):
+        """Pointer-doubling composition realizes the exact same paths as
+        the sequential backtrace (same presampled maps, same key)."""
+        import jax
+        log_pi0, log_P, log_lik = _random_problem(T=57, K=3, seed=4)
+        key = jax.random.PRNGKey(7)
+        z_seq = hmm_ops.sample_posterior(key, log_pi0, log_P, log_lik)
+        z_par = hmm_ops.sample_posterior(key, log_pi0, log_P, log_lik,
+                                         parallel=True)
+        np.testing.assert_array_equal(np.asarray(z_seq), np.asarray(z_par))
+
+    def test_masked_tail_carries_state(self):
+        import jax
+        log_pi0, log_P, log_lik = _random_problem(T=30, K=3, seed=6)
+        valid = 19
+        mask = (np.arange(30) < valid).astype(np.float32)
+        z = np.asarray(hmm_ops.sample_posterior(
+            jax.random.PRNGKey(2), log_pi0, log_P, log_lik, mask))
+        assert np.all(z[valid - 1:] == z[valid - 1])
+
+
 class TestForwardParallel:
 
     def test_matches_sequential(self):

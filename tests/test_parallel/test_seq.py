@@ -177,6 +177,18 @@ class TestBayesianDecoderSequenceParallel:
         np.testing.assert_array_equal(out1['states'], out0['states'])
 
 
+class TestSpSamplePosterior:
+
+    def test_matches_single_device_draw(self, mesh):
+        """Same key, same presampled maps — identical realized path."""
+        from behavenet_tpu.parallel.seq import sp_sample_posterior
+        log_pi0, log_P, log_lik = _chain(T=44, K=3, seed=6)
+        key = jax.random.PRNGKey(3)
+        z0 = hmm.sample_posterior(key, log_pi0, log_P, log_lik, parallel=True)
+        z1 = sp_sample_posterior(key, log_pi0, log_P, log_lik, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+
+
 class TestShardTimeEM:
     """fit(mesh=..., shard_time=True) matches single-device EM."""
 
