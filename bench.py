@@ -218,6 +218,65 @@ def measure_streamed(T=192, n_trials=50, n_epochs=3, hw=128, prefetch_workers=4,
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def measure_staging_2view(T=189, n_trials=15, hw=128, n_passes=3):
+    """Host staging rate at the reference's 2-view Musall shape (GB/s).
+
+    (T, 2, hw, hw) uint8 trials on disk -> NHWC host arrays through
+    ``SingleSessionDataset``. This is the shape where numpy's 2-channel
+    uint8 transpose collapses to ~0.15 GB/s; the native fused
+    read+transpose kernel (`_native/staging.cpp`, reached via
+    ``data/raw_h5.read_nhwc``) does the interleave during the copy out of
+    the page cache (>10x). Returns (native_gbps, fallback_gbps).
+    """
+    import h5py
+
+    from behavenet_tpu.data.generator import SingleSessionDataset
+
+    tmpdir = tempfile.mkdtemp(prefix='bench_2view_')
+    try:
+        sess_dir = os.path.join(tmpdir, 'lab', 'expt', 'animal', 'session')
+        os.makedirs(sess_dir)
+        h5_path = os.path.join(sess_dir, 'data.hdf5')
+        rs = np.random.RandomState(0)
+        with h5py.File(h5_path, 'w', libver='latest') as f:
+            g = f.create_group('images')
+            for i in range(n_trials):
+                g.create_dataset(
+                    'trial_%04i' % i,
+                    data=rs.randint(0, 255, size=(T, 2, hw, hw)), dtype='uint8')
+        ds = SingleSessionDataset(
+            tmpdir, lab='lab', expt='expt', animal='animal', session='session',
+            signals=['images'], transforms=[None], paths=[h5_path],
+            batch_load=True)
+
+        def rate(native):
+            if not native:
+                os.environ['BEHAVENET_NO_NATIVE'] = '1'
+            try:
+                for i in range(n_trials):  # warm page cache + reader index
+                    ds[i]
+                best = 0.0
+                for _ in range(n_passes):
+                    t0 = time.perf_counter()
+                    nbytes = 0
+                    for i in range(n_trials):
+                        nbytes += ds[i]['images'].nbytes
+                    best = max(best, nbytes / (time.perf_counter() - t0) / 1e9)
+                return best
+            finally:
+                os.environ.pop('BEHAVENET_NO_NATIVE', None)
+
+        from behavenet_tpu import _native
+        native_gbps = rate(native=True) if _native.get_lib() else None
+        fallback_gbps = rate(native=False)
+        print('2-view staging: native %s GB/s, python fallback %.2f GB/s'
+              % ('%.2f' % native_gbps if native_gbps else 'n/a', fallback_gbps),
+              file=sys.stderr)
+        return native_gbps, fallback_gbps
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
     """EM iterations/sec on device (BASELINE metric 'ARHMM EM iters/sec')."""
     import jax
@@ -312,6 +371,22 @@ def main():
     else:
         print('skipping streamed bench (%.0fs elapsed)' % elapsed(), file=sys.stderr)
 
+    # 2b. 2-view (Musall-shaped) host staging: native kernel vs python
+    staging_2view = None
+    if elapsed() < 0.65 * budget:
+        try:
+            native_gbps, fallback_gbps = measure_staging_2view()
+            staging_2view = {
+                'native_gb_per_sec':
+                    round(native_gbps, 3) if native_gbps else None,
+                'python_gb_per_sec': round(fallback_gbps, 3),
+            }
+        except Exception as e:
+            print('2-view staging bench failed: %s' % e, file=sys.stderr)
+    else:
+        print('skipping 2-view staging bench (%.0fs elapsed)' % elapsed(),
+              file=sys.stderr)
+
     # 3. ARHMM EM rate
     em_ips = None
     if elapsed() < 0.7 * budget:
@@ -339,6 +414,7 @@ def main():
         'vs_baseline': round(fps / TARGET_FPS, 3),
         'fps_trial_batch_189': round(results.get(189, 0.0), 1),
         'streamed': streamed,
+        'host_staging_2view': staging_2view,
         'arhmm_em_iters_per_sec': em_ips,
         'parity_converged_rel_gap_pct': parity,
     }))
