@@ -346,19 +346,33 @@ def main():
     # 1. compute throughput (primary BASELINE metric)
     results = {}
     for batch, spd in ((189, 1), (189, 8), (1024, 1)):
+        if elapsed() > 0.45 * budget:
+            # a dead tunnel burns ~25 min per backend-init attempt; stop
+            # retrying configs so the host-side stages + JSON line still land
+            print('skipping batch=%d spd=%d (%.0fs elapsed)'
+                  % (batch, spd, elapsed()), file=sys.stderr)
+            continue
         try:
             fps = measure(batch, steps_per_dispatch=spd)
             results[batch] = max(results.get(batch, 0.0), fps)
         except Exception as e:  # keep the bench robust to transient tunnel errors
             print('batch=%d spd=%d failed: %s' % (batch, spd, e), file=sys.stderr)
-    if not results:
-        raise SystemExit('all bench configs failed')
-    best_batch = max(results, key=results.get)
-    fps = results[best_batch]
+    error = None
+    if results:
+        best_batch = max(results, key=results.get)
+        fps = results[best_batch]
+    else:
+        # never exit without the JSON line: report the failure and still run
+        # every stage that doesn't need the device (staging, parity)
+        error = 'all TPU compute configs failed (backend unavailable?)'
+        print(error, file=sys.stderr)
+        best_batch, fps = 189, 0.0
 
     # 2. streamed end-to-end training
     streamed = None
-    if elapsed() < 0.55 * budget:
+    if error is not None:
+        print('skipping streamed bench (no working device)', file=sys.stderr)
+    elif elapsed() < 0.55 * budget:
         try:
             s_fps, host_gbps, frames_per_epoch = measure_streamed()
             streamed = {
@@ -389,7 +403,9 @@ def main():
 
     # 3. ARHMM EM rate
     em_ips = None
-    if elapsed() < 0.7 * budget:
+    if error is not None:
+        print('skipping EM bench (no working device)', file=sys.stderr)
+    elif elapsed() < 0.7 * budget:
         try:
             em_ips = round(measure_arhmm_em(), 2)
         except Exception as e:
@@ -417,6 +433,7 @@ def main():
         'host_staging_2view': staging_2view,
         'arhmm_em_iters_per_sec': em_ips,
         'parity_converged_rel_gap_pct': parity,
+        'error': error,
     }))
 
 
