@@ -134,20 +134,28 @@ _readers_lock = threading.Lock()
 
 
 def get_reader(path, group):
-    """Process-wide reader cache keyed on (realpath, group, mtime, size).
+    """Process-wide reader cache keyed on (realpath, group, ino, mtime, size).
 
-    The mtime/size key means a rewritten file (new offsets) gets a fresh
-    index instead of stale reads; training never rewrites its inputs, so
-    in the hot loop this is a dict hit.
+    The inode/mtime/size key means a rewritten file (new offsets) gets a
+    fresh index instead of stale reads — ``os.replace`` swaps the inode, an
+    in-place truncate moves mtime/size; training never rewrites its inputs,
+    so in the hot loop this is a dict hit. When a file's key changes, the
+    stale entry is dropped from the cache: its fd closes via refcount once
+    any in-flight reads on other threads finish (never ``close()`` here —
+    an eager close could hand the fd number to an unrelated open mid-read),
+    so open fds stay bounded at one per live (file, group).
     """
     try:
         st = os.stat(path)
-        key = (os.path.realpath(path), group, st.st_mtime_ns, st.st_size)
+        ident = (os.path.realpath(path), group)
+        key = ident + (st.st_ino, st.st_mtime_ns, st.st_size)
     except OSError:
         return None
     with _readers_lock:
         reader = _readers.get(key)
         if reader is None:
+            for k in [k for k in _readers if k[:2] == ident]:
+                del _readers[k]
             reader = RawGroupReader(path, group)
             _readers[key] = reader
         return reader

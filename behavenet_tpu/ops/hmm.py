@@ -277,6 +277,36 @@ def _compose_maps(later, earlier):
     return jnp.take_along_axis(earlier, later, axis=-1)
 
 
+def _presample_path_draws(key, log_alpha, lp, mask):
+    """Final-state draw + presampled predecessor maps from filtered alphas.
+
+    Returns (z_T scalar int32, psi (T-1, K) int32) where
+    psi[t, k] ~ p(z_t | z_{t+1}=k, x_{1:t}); masked steps carry the state
+    through unchanged (identity map).
+
+    Filtered alphas are unnormalized and grow ~O(T in log mass); at the
+    T~1e5 design point their f32 magnitude (~1e5-1e6, ULP ~1e-2..1e-1)
+    would quantize away the O(1) Gumbel noise inside the categorical
+    draws, biasing samples toward argmax. Categorical draws are invariant
+    to per-row shifts, so the row max is subtracted FIRST — every logit
+    entering a draw is then O(local range).
+    """
+    K = lp.shape[-1]
+    k_last, k_maps = jax.random.split(key)
+    last = log_alpha[-1]
+    z_T = jax.random.categorical(k_last, last - jnp.max(last)).astype(jnp.int32)
+
+    # logits over the predecessor, batched over (t, successor)
+    logits = jnp.swapaxes(log_alpha[:-1, :, None] + lp, 1, 2)  # (T-1, to, from)
+    shift = jnp.max(logits, axis=-1, keepdims=True)
+    # a row can be all -inf for an unreachable successor; its draw is never
+    # consumed, but keep the logits NaN-free
+    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
+    psi = jax.random.categorical(k_maps, logits - shift, axis=-1).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, psi.shape, 1)
+    return z_T, jnp.where(mask[1:, None] > 0, psi, idx)
+
+
 def sample_posterior(key, log_pi0, log_P, log_lik, mask=None, parallel=False):
     """Draw z ~ p(z | observations): forward filter, backward sample (FFBS).
 
@@ -305,14 +335,7 @@ def sample_posterior(key, log_pi0, log_P, log_lik, mask=None, parallel=False):
 
     lp = jnp.broadcast_to(log_P[None], (T - 1, K, K)) if log_P.ndim == 2 \
         else log_P
-    k_last, k_maps = jax.random.split(key)
-    z_T = jax.random.categorical(k_last, log_alpha[-1]).astype(jnp.int32)
-
-    # logits over the predecessor, batched over (t, successor)
-    logits = jnp.swapaxes(log_alpha[:-1, :, None] + lp, 1, 2)  # (T-1, to, from)
-    psi = jax.random.categorical(k_maps, logits, axis=-1).astype(jnp.int32)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (T - 1, K), 1)
-    psi = jnp.where(mask[1:, None] > 0, psi, idx)              # (T-1, K)
+    z_T, psi = _presample_path_draws(key, log_alpha, lp, mask)
 
     if parallel:
         comp = _prefix(_compose_maps, psi, jnp.arange(K, dtype=jnp.int32),

@@ -28,6 +28,7 @@ pattern XLA's collectives are built for. There is no reference counterpart
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.scipy.special import logsumexp
 from jax.sharding import PartitionSpec as P
 try:
     from jax import shard_map  # jax >= 0.8
@@ -120,6 +121,25 @@ def sp_scan(combine, elems, identity, mesh, axis_name='sp', reverse=False,
     return _tmap(lambda o: o[:T], out)
 
 
+def _hmm_chain(log_P, log_lik, mask):
+    """Chain operators M_t (+ the monoid identity) shared by the sp passes."""
+    T, K = log_lik.shape
+    lp = jnp.broadcast_to(log_P[None], (T - 1, K, K)) if log_P.ndim == 2 else log_P
+    Ms = lp + (log_lik[1:] * mask[1:, None])[:, None, :]
+    identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
+    Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
+    return lp, Ms, identity
+
+
+def _sp_alphas(log_pi0, log_lik, mask, Ms, identity, mesh, axis_name):
+    """Filtered log-alphas (T, K) via the time-sharded log-matmul prefix."""
+    prefix = sp_scan(hmm_ops._log_matmul, Ms, identity, mesh,
+                     axis_name=axis_name)
+    alpha0 = log_pi0 + log_lik[0] * mask[0]
+    alphas = logsumexp(alpha0[None, :, None] + prefix, axis=1)
+    return jnp.concatenate([alpha0[None], alphas], axis=0)
+
+
 def sp_forward_backward(log_pi0, log_P, log_lik, mask=None, mesh=None,
                         axis_name='sp'):
     """HMM posteriors with both message passes time-sharded over ``mesh``.
@@ -134,17 +154,9 @@ def sp_forward_backward(log_pi0, log_P, log_lik, mask=None, mesh=None,
         mask = jnp.ones(T)
     mask = mask.astype(log_lik.dtype)
 
-    lp = jnp.broadcast_to(log_P[None], (T - 1, K, K)) if log_P.ndim == 2 else log_P
-    Ms = lp + (log_lik[1:] * mask[1:, None])[:, None, :]
-    identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
-    Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
-
-    prefix = sp_scan(hmm_ops._log_matmul, Ms, identity, mesh,
-                     axis_name=axis_name)
-    alpha0 = log_pi0 + log_lik[0] * mask[0]
-    from jax.scipy.special import logsumexp
-    alphas = logsumexp(alpha0[None, :, None] + prefix, axis=1)
-    log_alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
+    lp, Ms, identity = _hmm_chain(log_P, log_lik, mask)
+    log_alpha = _sp_alphas(log_pi0, log_lik, mask, Ms, identity, mesh,
+                           axis_name)
     log_Z = logsumexp(log_alpha[-1])
 
     suffix_T = sp_scan(hmm_ops._log_matmul, jnp.swapaxes(Ms, 1, 2), identity,
@@ -179,11 +191,7 @@ def sp_viterbi(log_pi0, log_P, log_lik, mask=None, mesh=None, axis_name='sp'):
         mask = jnp.ones(T)
     mask = mask.astype(log_lik.dtype)
 
-    lp = jnp.broadcast_to(log_P[None], (T - 1, K, K)) if log_P.ndim == 2 else log_P
-    Ms = lp + (log_lik[1:] * mask[1:, None])[:, None, :]
-    identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
-    Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
-
+    lp, Ms, identity = _hmm_chain(log_P, log_lik, mask)
     prefix = sp_scan(hmm_ops._maxplus_matmul, Ms, identity, mesh,
                      axis_name=axis_name)
     delta0 = log_pi0 + log_lik[0] * mask[0]
@@ -216,24 +224,10 @@ def sp_sample_posterior(key, log_pi0, log_P, log_lik, mask=None, mesh=None,
         mask = jnp.ones(T)
     mask = mask.astype(log_lik.dtype)
 
-    lp = jnp.broadcast_to(log_P[None], (T - 1, K, K)) if log_P.ndim == 2 else log_P
-    Ms = lp + (log_lik[1:] * mask[1:, None])[:, None, :]
-    identity = jnp.where(jnp.eye(K) > 0, 0.0, -jnp.inf)
-    Ms = jnp.where(mask[1:, None, None] > 0, Ms, identity[None])
-
-    prefix = sp_scan(hmm_ops._log_matmul, Ms, identity, mesh,
-                     axis_name=axis_name)
-    alpha0 = log_pi0 + log_lik[0] * mask[0]
-    from jax.scipy.special import logsumexp
-    alphas = logsumexp(alpha0[None, :, None] + prefix, axis=1)
-    log_alpha = jnp.concatenate([alpha0[None], alphas], axis=0)
-
-    k_last, k_maps = jax.random.split(key)
-    z_T = jax.random.categorical(k_last, log_alpha[-1]).astype(jnp.int32)
-    logits = jnp.swapaxes(log_alpha[:-1, :, None] + lp, 1, 2)
-    psi = jax.random.categorical(k_maps, logits, axis=-1).astype(jnp.int32)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (T - 1, K), 1)
-    psi = jnp.where(mask[1:, None] > 0, psi, idx)
+    lp, Ms, identity = _hmm_chain(log_P, log_lik, mask)
+    log_alpha = _sp_alphas(log_pi0, log_lik, mask, Ms, identity, mesh,
+                           axis_name)
+    z_T, psi = hmm_ops._presample_path_draws(key, log_alpha, lp, mask)
 
     comp = sp_scan(hmm_ops._compose_maps, psi, jnp.arange(K, dtype=jnp.int32),
                    mesh, axis_name=axis_name, reverse=True)

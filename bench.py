@@ -250,8 +250,9 @@ def measure_staging_2view(T=189, n_trials=15, hw=128, n_passes=3):
             batch_load=True)
 
         def rate(native):
-            if not native:
-                os.environ['BEHAVENET_NO_NATIVE'] = '1'
+            prior = os.environ.get('BEHAVENET_NO_NATIVE')  # restore, don't pop:
+            if not native:                                 # the user may have
+                os.environ['BEHAVENET_NO_NATIVE'] = '1'    # set the kill switch
             try:
                 for i in range(n_trials):  # warm page cache + reader index
                     ds[i]
@@ -264,7 +265,10 @@ def measure_staging_2view(T=189, n_trials=15, hw=128, n_passes=3):
                     best = max(best, nbytes / (time.perf_counter() - t0) / 1e9)
                 return best
             finally:
-                os.environ.pop('BEHAVENET_NO_NATIVE', None)
+                if prior is None:
+                    os.environ.pop('BEHAVENET_NO_NATIVE', None)
+                else:
+                    os.environ['BEHAVENET_NO_NATIVE'] = prior
 
         from behavenet_tpu import _native
         native_gbps = rate(native=True) if _native.get_lib() else None

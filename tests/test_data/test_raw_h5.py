@@ -80,6 +80,39 @@ class TestRawGroupReader:
     def test_missing_file(self, tmp_path):
         assert raw_h5.get_reader(str(tmp_path / 'nope.hdf5'), 'images') is None
 
+    def test_rewrite_evicts_stale_cache_entry(self, tmp_path):
+        """A rewritten file must leave exactly one cached reader for its
+        (path, group) — stale entries drop out (their fds close via
+        refcount), so long runs that regenerate sessions can't leak fds."""
+        path = str(tmp_path / 'data.hdf5')
+        ident = (os.path.realpath(path), 'images')
+        _write(path, ['contig'])
+        r1 = raw_h5.get_reader(path, 'images')
+        os.utime(path)
+        _write(path, ['contig'] * 2)
+        r2 = raw_h5.get_reader(path, 'images')
+        assert r2 is not r1
+        live = [k for k in raw_h5._readers if k[:2] == ident]
+        assert len(live) == 1
+
+    def test_replace_with_new_inode_invalidates(self, tmp_path):
+        """os.replace swaps the inode: even with identical size (and
+        however coarse the filesystem mtime), the ino in the cache key
+        forces a re-index so offsets are never stale."""
+        path = str(tmp_path / 'data.hdf5')
+        arrays = _write(path, ['contig'] * 2)
+        r1 = raw_h5.get_reader(path, 'images')
+        np.testing.assert_array_equal(r1.read('trial_0000'), arrays[0])
+        other = str(tmp_path / 'other.hdf5')
+        arrays2 = _write(other, ['contig'] * 2)
+        st = os.stat(path)
+        os.replace(other, path)
+        os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))  # freeze mtime
+        assert os.path.getsize(path) == st.st_size
+        r2 = raw_h5.get_reader(path, 'images')
+        assert r2 is not r1
+        np.testing.assert_array_equal(r2.read('trial_0001'), arrays2[1])
+
 
 class TestDatasetIntegration:
 

@@ -191,6 +191,27 @@ class TestSamplePosterior:
             jax.random.PRNGKey(2), log_pi0, log_P, log_lik, mask))
         assert np.all(z[valid - 1:] == z[valid - 1])
 
+    def test_draws_not_degenerate_at_large_alpha_magnitude(self):
+        """Unnormalized filtered alphas grow ~O(T in log mass); without the
+        row-max subtraction before each categorical draw, f32 logits at
+        ~1e8 magnitude (ULP 8) quantize the O(1) Gumbel noise to zero and
+        every 'draw' degenerates to argmax — here a two-state chain exactly
+        symmetric under 0<->1 swap, whose true marginals are 0.5/0.5 at any
+        magnitude, would come out ~100% state 0. (Miniature of the
+        T~1e5 design point, where alpha reaches -1e6..-1e7.)"""
+        import jax
+        T, K = 32, 2
+        log_pi0 = jnp.log(jnp.full((K,), 0.5))
+        log_P = jnp.log(jnp.full((K, K), 0.5))
+        log_lik = jnp.full((T, K), -3e6)  # alpha_T ~ -1e8, both states equal
+        for parallel in (False, True):
+            keys = jax.random.split(jax.random.PRNGKey(13), 200)
+            zs = np.asarray(jax.vmap(
+                lambda k: hmm_ops.sample_posterior(
+                    k, log_pi0, log_P, log_lik, parallel=parallel))(keys))
+            frac0 = (zs == 0).mean()
+            assert 0.35 < frac0 < 0.65, frac0
+
 
 class TestForwardParallel:
 

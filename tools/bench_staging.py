@@ -74,12 +74,16 @@ def bench_shape(T, C, hw, n_trials, passes):
         reader = raw_h5.RawGroupReader(path, 'images')
 
         def via_raw(i):
+            prior = os.environ.get('BEHAVENET_NO_NATIVE')
             os.environ['BEHAVENET_NO_NATIVE'] = '1'
             try:
                 arr = reader.read('trial_%04i' % i)
                 return np.ascontiguousarray(np.transpose(arr, (0, 2, 3, 1)))
             finally:
-                os.environ.pop('BEHAVENET_NO_NATIVE', None)
+                if prior is None:
+                    os.environ.pop('BEHAVENET_NO_NATIVE', None)
+                else:
+                    os.environ['BEHAVENET_NO_NATIVE'] = prior
 
         def via_native(i):
             return reader.read_nhwc('trial_%04i' % i)
