@@ -265,7 +265,8 @@ class ARHMM:
         if mesh is not None:
             from behavenet_tpu.parallel.seq import sp_viterbi
             return np.asarray(
-                sp_viterbi(self.params['log_pi0'], lp, ll, mask, mesh=mesh))
+                sp_viterbi(self.params['log_pi0'], lp, ll, mask, mesh=mesh,
+                           axis_name=mesh.axis_names[0]))
         vit = hmm_ops.viterbi_parallel if self.parallel_scan else hmm_ops.viterbi
         return np.asarray(vit(self.params['log_pi0'], lp, ll, mask))
 
@@ -282,7 +283,8 @@ class ARHMM:
         if mesh is not None:
             from behavenet_tpu.parallel.seq import sp_forward_backward
             gamma, _, _ = sp_forward_backward(
-                self.params['log_pi0'], lp, ll, mask, mesh=mesh)
+                self.params['log_pi0'], lp, ll, mask, mesh=mesh,
+                axis_name=mesh.axis_names[0])
             return np.asarray(gamma)
         gamma, _, _ = hmm_ops.forward_backward(
             self.params['log_pi0'], lp, ll, mask, parallel=self.parallel_scan)
@@ -308,7 +310,8 @@ class ARHMM:
         if mesh is not None:
             from behavenet_tpu.parallel.seq import sp_sample_posterior
             return np.asarray(sp_sample_posterior(
-                key, self.params['log_pi0'], lp, ll, mask, mesh=mesh))
+                key, self.params['log_pi0'], lp, ll, mask, mesh=mesh,
+                axis_name=mesh.axis_names[0]))
         return np.asarray(hmm_ops.sample_posterior(
             key, self.params['log_pi0'], lp, ll, mask,
             parallel=self.parallel_scan))
@@ -701,6 +704,11 @@ class ARHMM:
         if initialize:
             self.initialize(datas)
         x, mask = _pad_datas(datas, self.np_dtype)
+        if shard_time and mesh is None:
+            raise ValueError(
+                'shard_time=True requires mesh= (a jax.sharding.Mesh to '
+                'shard the time axis over); without one the run would '
+                'silently be single-device')
         if mesh is not None and shard_time:
             if self.transitions not in ('stationary', 'sticky'):
                 raise NotImplementedError(
@@ -720,10 +728,12 @@ class ARHMM:
             x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
             mask = jax.device_put(mask, NamedSharding(mesh, P(None, axis)))
             self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
-            if self._fit_step_sp is None:
-                self._fit_step_sp = jax.jit(
-                    lambda p, x_d, m_d: self._em_step_sp(p, x_d, m_d, mesh))
-            step = self._fit_step_sp
+            # the compiled step closes over the mesh: cache per mesh, or a
+            # second fit with a different mesh would silently reuse the first
+            if self._fit_step_sp is None or self._fit_step_sp[0] != mesh:
+                self._fit_step_sp = (mesh, jax.jit(
+                    lambda p, x_d, m_d: self._em_step_sp(p, x_d, m_d, mesh)))
+            step = self._fit_step_sp[1]
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             axis = mesh.axis_names[0]
@@ -736,10 +746,10 @@ class ARHMM:
             x = jax.device_put(x, NamedSharding(mesh, P(axis)))
             mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
             self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
-            if self._fit_step is None:
-                self._fit_step = jax.jit(self._em_step)
-            step = self._fit_step
+            step = None
         else:
+            step = None
+        if step is None:  # trial-sharded and single-device share _em_step
             if self._fit_step is None:
                 self._fit_step = jax.jit(self._em_step)
             step = self._fit_step

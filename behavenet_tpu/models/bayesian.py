@@ -185,7 +185,7 @@ class BayesianDecoder:
             for very long trials; omits the IMM mixture-spread covariance
             term (negligible when the state posterior is concentrated)
         mesh : jax.sharding.Mesh, optional
-            a mesh with an ``'sp'`` axis: shard the trial's time axis
+            a 1-D mesh (any axis name): shard the trial's time axis
             across its chips — every message pass (forward/backward,
             Viterbi, Kalman filter/smoother) runs sequence-parallel via
             ``parallel.seq``. Implies ``parallel=True``.
@@ -230,7 +230,9 @@ class BayesianDecoder:
         def fb(ll, log_P):
             if mesh is not None:
                 from behavenet_tpu.parallel.seq import sp_forward_backward
-                gamma, _, _ = sp_forward_backward(log_pi0, log_P, ll, mesh=mesh)
+                gamma, _, _ = sp_forward_backward(
+                    log_pi0, log_P, ll, mesh=mesh,
+                    axis_name=mesh.axis_names[0])
                 return gamma
             gamma, _, _ = hmm_ops.forward_backward(
                 log_pi0, log_P, ll, parallel=par_scan)
@@ -239,7 +241,8 @@ class BayesianDecoder:
         def vit(ll, log_P):
             if mesh is not None:
                 from behavenet_tpu.parallel.seq import sp_viterbi
-                return sp_viterbi(log_pi0, log_P, ll, mesh=mesh)
+                return sp_viterbi(log_pi0, log_P, ll, mesh=mesh,
+                                  axis_name=mesh.axis_names[0])
             f = hmm_ops.viterbi_parallel if par_scan else hmm_ops.viterbi
             return f(log_pi0, log_P, ll)
 
@@ -383,11 +386,13 @@ class BayesianDecoder:
         if mesh is not None:
             from behavenet_tpu.parallel.seq import (
                 sp_kalman_filter, sp_kalman_smooth)
+            axis = mesh.axis_names[0]
             ms, Ps = sp_kalman_filter(
                 F, c, Q, self._H, self.R, y, obs_mask, mu0, Sigma0, mesh,
-                chunk=chunk)
+                axis_name=axis, chunk=chunk)
             if smooth:
-                ms, Ps = sp_kalman_smooth(F, c, Q, ms, Ps, mesh, chunk=chunk)
+                ms, Ps = sp_kalman_smooth(F, c, Q, ms, Ps, mesh,
+                                          axis_name=axis, chunk=chunk)
             return ms, Ps
         ms, Ps = kalman.filter_parallel(
             F, c, Q, self._H, self.R, y, obs_mask, mu0, Sigma0, chunk=chunk)

@@ -46,7 +46,10 @@ def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None, out_dtype=None):
     Tiny-Cin strided layers (``Cin*s^2 <= 16``, e.g. the 1-channel first
     image conv) route through a custom VJP whose grad-w uses the
     space-to-depth phase regrouping (see ``_gradw_s2d``) — measured 1.9-2x
-    on that layer's grad-w at batches 189/1024 on v5e.
+    on that layer's grad-w at batches 189/1024 on v5e. Known limitation:
+    ``jax.custom_vjp`` (here and in ``_tconv``) supports reverse-mode only,
+    so ``jax.jvp``/``jacfwd`` through such a layer raises — training and
+    every in-repo caller are reverse-mode; use ``jax.grad``/``vjp``.
     """
     dtype = compute_dtype or x.dtype
     odt = out_dtype or jnp.float32

@@ -39,10 +39,9 @@ if __name__ == '__main__':
     k, s = 5, 2
     p0, p1 = 1, 2
 
-    def s2d(x, f):
-        n, h, w, c = x.shape
-        x = x.reshape(n, h // f, f, w // f, f, c)
-        return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
+    # the shipped regrouping: measuring anything else would be a different
+    # lowering than the _conv_s2dgw VJP actually uses
+    from behavenet_tpu.ops.conv import space_to_depth as s2d
 
     print('batch=%d' % BATCH)
     for name, h, w_, ci, co in cases:
