@@ -113,6 +113,30 @@ def _infer_fns(model, params):
         fns['encode'] = (encode, [(img, np.uint8)])
         fns['reconstruct'] = (reconstruct, [(img, np.uint8)])
 
+    elif mc in ('cond-ae', 'cond-vae'):
+        img = (int(hp['y_pixels']), int(hp['x_pixels']),
+               int(hp['n_input_channels']))
+        n_labels = int(hp['n_labels'])
+        rng = jax.random.PRNGKey(0)
+
+        if mc == 'cond-ae':
+            def encode(x, y):
+                return model.forward(params, _norm_images(x), labels=y)[1]
+
+            def reconstruct(x, y):
+                return model.forward(params, _norm_images(x), labels=y)[0]
+        else:
+            def encode(x, y):
+                return model.forward(params, _norm_images(x), rng=rng,
+                                     labels=y, use_mean=True)[1]
+
+            def reconstruct(x, y):
+                return model.forward(params, _norm_images(x), rng=rng,
+                                     labels=y, use_mean=True)[0]
+        specs = [(img, np.uint8), ((n_labels,), np.float32)]
+        fns['encode'] = (encode, specs)
+        fns['reconstruct'] = (reconstruct, specs)
+
     elif mc == 'labels-images':
         n_labels = int(hp['n_labels'])
 
@@ -144,7 +168,8 @@ def _infer_fns(model, params):
         fns['states'] = (states, [((D,), np.float32)])
         fns['gamma'] = (gamma, [((D,), np.float32)])
 
-    else:  # neural decoders (neural-ae, ae-neural, neural-labels, ...)
+    elif mc in ('neural-ae', 'neural-ae-me', 'neural-arhmm', 'neural-labels',
+                'ae-neural', 'arhmm-neural', 'labels-neural'):
         n_in = int(hp['input_size'])
 
         def predict(x):
@@ -153,6 +178,10 @@ def _infer_fns(model, params):
             # serving exposes the predictions head
             return out[0] if isinstance(out, tuple) else out
         fns['predict'] = (predict, [((n_in,), np.float32)])
+
+    else:
+        raise NotImplementedError(
+            'no serving export defined for model_class=%r' % mc)
 
     return fns
 

@@ -81,6 +81,24 @@ class TestAEFamily:
                                    np.asarray(ref), atol=1e-5)
 
 
+class TestConditional:
+
+    def test_cond_ae_two_input_heads(self, tmp_path, images):
+        from behavenet_tpu.models import ConditionalAE
+        hp = _ae_hparams(model_class='cond-ae', n_labels=3,
+                         conditional_encoder=False)
+        model = ConditionalAE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        man = serving.export_model(model, params, str(tmp_path))
+        assert sorted(man['artifacts']) == ['encode', 'reconstruct']
+        b = serving.load_bundle(str(tmp_path))
+        y = np.random.RandomState(1).randn(5, 3).astype('float32')
+        ref = model.forward(params, jnp.asarray(images, jnp.float32) / 255.0,
+                            labels=jnp.asarray(y))[0]
+        np.testing.assert_allclose(np.asarray(b.reconstruct(images, y)),
+                                   np.asarray(ref), atol=1e-5)
+
+
 class TestDecoder:
 
     def _decoder(self):
