@@ -339,7 +339,23 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
     if warm_start is not None:
         params = warm_start(params)
     n_dev = len(jax.devices())
-    if hparams.get('dp_sharding', False) and n_dev > 1:
+    tp_dev = int(hparams.get('tp_devices', 0) or 0)
+    if tp_dev > 1 and n_dev >= tp_dev:
+        # tensor(+data)-parallel: conv channels shard over the tp axis
+        # (per-chip activation memory scales 1/tp — archs over the
+        # single-chip budget train instead of being rejected); any leftover
+        # device factor becomes a dp axis sharding the frame dimension
+        from behavenet_tpu.parallel.tp import make_mesh_2d, make_tp_train_functions
+        n_dp = n_dev // tp_dev
+        bucket = int(hparams.get('shape_bucket', 32) or 32)
+        if bucket % n_dp:
+            bucket = -(-bucket // n_dp) * n_dp
+        hparams['shape_bucket'] = bucket
+        mesh = make_mesh_2d(n_dp, tp_dev)
+        print('tp sharding over a (%i, %i) dp x tp mesh (frame bucket %i)'
+              % (n_dp, tp_dev, bucket))
+        tx, train_step, eval_step = make_tp_train_functions(model, hparams, mesh)
+    elif hparams.get('dp_sharding', False) and n_dev > 1:
         # data-parallel training over all local devices: batches shard along
         # the frame axis (length bucketing keeps it divisible), params
         # replicate, XLA inserts the gradient all-reduce over ICI
@@ -362,7 +378,9 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
     # sharding (the dp wrapper re-places inputs per step) and for
     # multi-session seg_lens batches (static per-segment lengths).
     steps_per_dispatch = int(hparams.get('steps_per_dispatch', 1) or 1)
-    if steps_per_dispatch > 1 and not (hparams.get('dp_sharding', False) and n_dev > 1):
+    sharded = (tp_dev > 1 and n_dev >= tp_dev) or \
+        (hparams.get('dp_sharding', False) and n_dev > 1)
+    if steps_per_dispatch > 1 and not sharded:
         multi_step = make_multi_step(model, hparams, tx)
     else:
         multi_step = None

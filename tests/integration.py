@@ -46,6 +46,11 @@ SESSIONS = ['sess-0', 'sess-1']
 
 MODELS_TO_FIT = [
     {'model_class': 'ae', 'model_file': 'ae', 'sessions': SESSIONS[0]},
+    # tensor-parallel AE: conv channels sharded over a (2, 2) dp x tp mesh
+    # (4 virtual CPU devices); exercises fit()'s tp_devices branch end to end
+    {'model_class': 'ae', 'model_file': 'ae', 'sessions': SESSIONS[0],
+     'overrides': {'tp_devices': 2, 'experiment_name': 'ae-tp-expt'},
+     'env': {'XLA_FLAGS': '--xla_force_host_platform_device_count=4'}},
     {'model_class': 'arhmm', 'model_file': 'arhmm', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-ae', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     # mv = gaussian-full noise (learned per-frame full precision); exercises
@@ -326,13 +331,18 @@ def main(device='cpu'):
             ' ' + str(model['overrides']) if model.get('overrides') else '',
             model['sessions']))
         print('---------------------------------------------------')
-        ok = fit_model(model['model_file'], new_config_files, env)
+        env_model = dict(env)
+        if model.get('env') and device == 'cpu':
+            env_model.update(model['env'])
+        ok = fit_model(model['model_file'], new_config_files, env_model)
         if model['sessions'] == 'all':
             model_key = '%s-multisession' % model['model_class']
         else:
             model_key = model['model_class']
         if model.get('overrides', {}).get('model_type'):
             model_key += '/' + model['overrides']['model_type']
+        if model.get('overrides', {}).get('tp_devices'):
+            model_key += '/tp'
         passed = ok and check_model(config_dicts, data_dir, save_dir)
         results[model_key] = passed
 
