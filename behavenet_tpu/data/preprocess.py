@@ -48,7 +48,7 @@ def build_hdf5(save_file, video_file, label_file=None, pose_algo=None, batch_siz
     if not os.path.exists(os.path.dirname(save_file)):
         os.makedirs(os.path.dirname(save_file))
 
-    with h5py.File(save_file, 'w', libver='latest', swmr=True) as f:
+    with h5py.File(save_file, 'w', libver='latest') as f:
         f.swmr_mode = True  # single write multi-read
 
         group_i = f.create_group('images')

@@ -118,6 +118,41 @@ class TestTPEquivalence:
                        key=lambda t: str(t[0]))):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), ka
 
+    def test_psvae_tp(self):
+        # the sharding rules key on the shared conv layer names, so the
+        # whole VAE family trains tensor-parallel; PS-VAE adds label heads
+        # + KL terms + rng sampling on top of the conv stack
+        from behavenet_tpu.models import PSVAE
+        from behavenet_tpu.models.arch import load_handcrafted_arch
+
+        a = load_handcrafted_arch([1, 32, 24], 6, None, check_memory=False)
+        hp = dict(a, model_class='ps-vae', model_type='conv', n_ae_latents=6,
+                  n_labels=4, learning_rate=1e-3, l2_reg=0.0,
+                  rng_seed_model=0, max_n_epochs=10,
+                  **{'ps_vae.alpha': 1.0, 'ps_vae.beta': 1.0})
+        model = PSVAE(hp)
+        lk = model.loss_kwargs(0)
+        rs = np.random.RandomState(0)
+        batches = [{'images': jnp.asarray(rs.rand(8, 32, 24, 1), dtype=jnp.float32),
+                    'labels': jnp.asarray(rs.randn(8, 4), dtype=jnp.float32)}
+                   for _ in range(2)]
+
+        def run(step_fns):
+            tx, train_step, _ = step_fns
+            params = model.init(jax.random.PRNGKey(0))
+            opt_state = tx.init(params)
+            losses = []
+            for i, b in enumerate(batches):
+                params, opt_state, m = train_step(
+                    params, opt_state, jax.random.PRNGKey(i), dict(b), lk, 0, None)
+                losses.append(float(m['loss']))
+            return losses
+
+        losses_s = run(make_train_functions(model, hp))
+        mesh = make_mesh_2d(2, 4)
+        losses_t = run(make_tp_train_functions(model, hp, mesh))
+        assert np.allclose(losses_s, losses_t, rtol=1e-4), (losses_s, losses_t)
+
     def test_maxpool_arch(self):
         model, hp = _make_model(batch_norm=0, channels=(8, 16), pool=True)
         losses_s, params_s = _run_steps(model, make_train_functions(model, hp))

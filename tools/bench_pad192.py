@@ -12,10 +12,13 @@ final loss inside the timed region.
 Usage: python tools/bench_pad192.py  (on the TPU; details to stderr)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(batch, pad_to=None, n_steps=50, n_repeats=3):
@@ -25,7 +28,6 @@ def measure(batch, pad_to=None, n_steps=50, n_repeats=3):
     from behavenet_tpu.fitting.training import make_train_functions
     from behavenet_tpu.models import AE
 
-    sys.path.insert(0, '.')
     from bench import _ae_hparams
 
     hp = _ae_hparams()
