@@ -105,6 +105,93 @@ def main(hparams, *args):
         print('done')
 
 
+def main_group(trial_list):
+    """Fit a group of vmappable grid trials in one program (shared stream).
+
+    Reached via ``"vmap_trials": k`` in the compute JSON when the only
+    hparams varying across trials are optimizer scalars / seeds / loss
+    weights (fitting/vmap_grid.py group_vmappable). Per-trial experiment
+    versions, metrics, checkpoints, and exports are identical to the
+    sequential path; the k trials consume one disk->host->device stream.
+    """
+    from behavenet_tpu.fitting.vmap_grid import fit_vmap_grid
+
+    prepped = []
+    for hparams in trial_list:
+        if not isinstance(hparams, dict):
+            hparams = vars(hparams)
+        if hparams['model_type'] == 'conv':
+            hparams = {**hparams['architecture_params'], **hparams}
+        if hparams['model_type'] == 'conv' and \
+                hparams['n_ae_latents'] > hparams['max_latents']:
+            raise ValueError('Number of latents higher than max latents')
+        hparams, sess_ids, exp = create_experiment(hparams)
+        if hparams is None:
+            print('Experiment exists! Skipping trial in vmap group')
+            continue
+        prepped.append((hparams, sess_ids, exp))
+    if not prepped:
+        return
+
+    hp0, sess_ids, _ = prepped[0]
+    data_generator = build_data_generator(hp0, sess_ids)
+
+    def set_n_labels(hparams):
+        data, _ = data_generator.next_batch('val')
+        if isinstance(data, list):
+            data = data[0]
+        hparams['n_labels'] = int(data['labels'].shape[1])
+        data_generator.reset_iterators('val')
+
+    mc = hp0['model_class']
+    if mc == 'ae':
+        from behavenet_tpu.models import AE as Model
+    elif mc == 'vae':
+        from behavenet_tpu.models import VAE as Model
+    elif mc == 'beta-tcvae':
+        from behavenet_tpu.models import BetaTCVAE as Model
+    elif mc == 'ps-vae':
+        from behavenet_tpu.models import PSVAE as Model
+    else:
+        raise NotImplementedError(
+            'vmap_trials does not support model class "%s"' % mc)
+
+    models, hparams_list, exps = [], [], []
+    for hparams, _, exp in prepped:
+        hparams['n_datasets'] = len(sess_ids)
+        if mc != 'ae':
+            set_n_labels(hparams)
+        model = Model(hparams)
+        model.version = exp.version
+        models.append(model)
+        hparams['training_completed'] = False
+        export_hparams(hparams, exp)
+        hparams_list.append(hparams)
+        exps.append(exp)
+    print('fitting %i trials in one vmapped program' % len(models))
+
+    best = fit_vmap_grid(
+        hparams_list, models, data_generator, exps, method='ae',
+        warm_fn=lambda p, m, h: load_pretrained_ae(p, m, h))
+
+    from behavenet_tpu.models.base import params_finite
+    for hparams, exp, bp in zip(hparams_list, exps, best):
+        ok = bp is not None and params_finite(bp)
+        if not ok:
+            print('WARNING: trial produced no finite best-val parameters; '
+                  'not marking experiment as completed')
+        hparams['training_completed'] = ok
+        export_hparams(hparams, exp)
+        _clean_dir(hparams)
+        if hparams.get('export_train_plots', False):
+            version_dir = os.path.join(
+                hparams['expt_dir'], 'version_%i' % hparams['version'])
+            export_train_plots(hparams, 'train',
+                               save_file=os.path.join(version_dir, 'loss_training'))
+            export_train_plots(hparams, 'val',
+                               save_file=os.path.join(version_dir, 'loss_validation'))
+
+
 if __name__ == '__main__':
     hyperparams = get_all_params('grid_search')
-    run_grid_search(main, hyperparams)
+    run_grid_search(main, hyperparams, group_fn=main_group)

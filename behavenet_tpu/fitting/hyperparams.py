@@ -176,7 +176,7 @@ def print_hparams(hparams):
     print('')
 
 
-def run_grid_search(main_fn, hyperparams, script_module=None):
+def run_grid_search(main_fn, hyperparams, script_module=None, group_fn=None):
     """Execute every grid trial (replaces test-tube optimize_parallel_*).
 
     Trials are independent processes in the reference; here they run
@@ -206,6 +206,22 @@ def run_grid_search(main_fn, hyperparams, script_module=None):
         main_fn(trials[idx])
         return
     print('running %i grid-search trial(s)' % len(trials))
+    vmap_k = hyperparams.base.get('vmap_trials', 0) or 0
+    if vmap_k and group_fn is not None and not (n_workers > 1 and device == 'cpu'):
+        # k trials per jitted program over one shared data stream
+        # (fitting/vmap_grid.py); trials whose hparams vary in anything
+        # beyond optimizer/seed/loss-weight keys fall back to main_fn
+        from behavenet_tpu.fitting.vmap_grid import group_vmappable
+        max_k = len(trials) if vmap_k is True else int(vmap_k)
+        groups, singles = group_vmappable(trials, max_k)
+        if groups:
+            print('vmap_trials: %i group(s) of up to %i trials, %i sequential'
+                  % (len(groups), max_k, len(singles)))
+        for group in groups:
+            group_fn(group)
+        for trial in singles:
+            main_fn(trial)
+        return
     if n_workers > 1 and device == 'cpu':
         import multiprocessing
         with multiprocessing.get_context('spawn').Pool(n_workers) as pool:

@@ -244,8 +244,12 @@ class PSVAE(AE, _PSEncoderMixin):
         self.decoding = ConvDecoder(self.hparams)
 
     def loss_kwargs(self, epoch):
+        # alpha rides along as a traced scalar so the vmapped grid trainer
+        # can stack per-trial values (fitting/vmap_grid.py); identical to
+        # the loss_fn default for single-trial fits
         return {'beta': jnp.float32(self.beta_vals[epoch]),
-                'kl': jnp.float32(self.kl_anneal_vals[epoch])}
+                'kl': jnp.float32(self.kl_anneal_vals[epoch]),
+                'alpha': jnp.float32(self.hparams['ps_vae.alpha'])}
 
     def init(self, key):
         k_e, k_d, k_dd = jax.random.split(key, 3)
@@ -287,14 +291,18 @@ class PSVAE(AE, _PSEncoderMixin):
         y_hat = base.diag_linear(params['encoder']['D'], y)
         return x_hat, z, mu, logvar, y_hat
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, train=False):
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0,
+                alpha=None, train=False):
         x = batch['images']
         y = batch['labels']
         m = batch.get('masks')
         n = batch.get('labels_masks')
         fm = batch.get('frame_mask')
         n_labels = self.n_labels
-        alpha = self.hparams['ps_vae.alpha']
+        # alpha is an hparam, not a schedule, but the vmapped grid trainer
+        # threads per-trial values through the loss kwargs
+        if alpha is None:
+            alpha = self.hparams['ps_vae.alpha']
         stats = self._bn_stats(train)
         x_hat, sample, mu, logvar, y_hat = self.forward(
             params, x, rng=rng, dataset=dataset, train=train, stats_out=stats)
@@ -412,8 +420,8 @@ class MSPSVAE(PSVAE):
         y_hat = base.diag_linear(params['encoder']['D'], z_s)
         return x_hat, z, mu, logvar, y_hat
 
-    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, seg_lens=None,
-                train=False):
+    def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, alpha=None,
+                seg_lens=None, train=False):
         """Batch is a dataset-major concatenation of per-session trial segments.
 
         ``seg_lens`` (static tuple of per-session row counts) drives the
@@ -427,7 +435,8 @@ class MSPSVAE(PSVAE):
         fm = batch.get('frame_mask')
         n_labels = self.n_labels
         n_bg = self.n_background
-        alpha = self.hparams['ps_vae.alpha']
+        if alpha is None:
+            alpha = self.hparams['ps_vae.alpha']
         delta = self.hparams['ps_vae.delta']
         rng_f, rng_t = jax.random.split(rng)
         stats = self._bn_stats(train)

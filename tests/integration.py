@@ -73,6 +73,11 @@ MODELS_TO_FIT = [
     {'model_class': 'cond-ae-msp', 'model_file': 'ae', 'sessions': SESSIONS[0]},
     {'model_class': 'cond-vae', 'model_file': 'ae', 'sessions': SESSIONS[0]},
     {'model_class': 'ps-vae', 'model_file': 'ae', 'sessions': SESSIONS[0]},
+    # vmapped alpha grid: two ps-vae trials fitted in ONE jitted program
+    # sharing the data stream (fitting/vmap_grid.py via vmap_trials)
+    {'model_class': 'ps-vae', 'model_file': 'ae', 'sessions': SESSIONS[0],
+     'overrides': {'ps_vae.alpha': [1, 5], 'vmap_trials': 2,
+                   'experiment_name': 'psvae-vmap-expt'}},
     {'model_class': 'msps-vae', 'model_file': 'ae', 'sessions': 'all'},
     {'model_class': 'labels-images', 'model_file': 'label_decoder', 'sessions': SESSIONS[0]},
 ]
@@ -343,6 +348,8 @@ def main(device='cpu'):
             model_key += '/' + model['overrides']['model_type']
         if model.get('overrides', {}).get('tp_devices'):
             model_key += '/tp'
+        if model.get('overrides', {}).get('vmap_trials'):
+            model_key += '/vmap-grid'
         passed = ok and check_model(config_dicts, data_dir, save_dir)
         results[model_key] = passed
 
