@@ -192,6 +192,11 @@ def main_group(trial_list):
                                save_file=os.path.join(version_dir, 'loss_validation'))
 
 
-if __name__ == '__main__':
+def cli():
+    """Console entry point (``behavenet-ae-grid-search``)."""
     hyperparams = get_all_params('grid_search')
     run_grid_search(main, hyperparams, group_fn=main_group)
+
+
+if __name__ == '__main__':
+    cli()

@@ -69,6 +69,11 @@ def main(hparams, *args):
     _clean_dir(hparams)
 
 
-if __name__ == '__main__':
+def cli():
+    """Console entry point (``behavenet-label-decoder-grid-search``)."""
     hyperparams = get_all_params('grid_search')
     run_grid_search(main, hyperparams)
+
+
+if __name__ == '__main__':
+    cli()
