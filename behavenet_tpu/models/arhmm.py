@@ -129,6 +129,7 @@ class ARHMM:
 
         self._fit_step = None  # compiled EM step cache
         self._fit_step_sp = None  # compiled sequence-parallel EM step cache
+        self._fit_scan = None  # compiled k-iterations-per-dispatch cache
 
     # ---------------------------------------------------- convenience views
     @property
@@ -155,12 +156,14 @@ class ARHMM:
         state['params'] = {k: np.asarray(v) for k, v in self.params.items()}
         state['_fit_step'] = None
         state['_fit_step_sp'] = None
+        state['_fit_scan'] = None
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self.__dict__.setdefault('parallel_scan', False)  # pre-flag pickles
         self.__dict__.setdefault('_fit_step_sp', None)
+        self.__dict__.setdefault('_fit_scan', None)
         self.__dict__.setdefault('dtype', 'float32')
         self.__dict__.setdefault('np_dtype', np.float32)
         if self.dtype == 'float64' and not jax.config.jax_enable_x64:
@@ -679,8 +682,18 @@ class ARHMM:
         return new
 
     def fit(self, datas, method='em', num_iters=1, initialize=False, tolerance=0.0,
-            mesh=None, shard_time=False):
+            mesh=None, shard_time=False, iters_per_dispatch=1):
         """Run EM iterations (ssm.HMM.fit API subset). Returns per-iter lls.
+
+        ``iters_per_dispatch``: scan k EM iterations inside ONE jitted
+        device program (``lax.scan`` over the iteration axis) instead of
+        dispatching them one by one — same trick as the trainer's
+        ``steps_per_dispatch``. Amortizes per-dispatch overhead (dominant
+        on high-latency links); the per-iteration log-likelihood history
+        is still returned. With ``tolerance > 0`` convergence is checked
+        *between* dispatches, so a fit may run up to ``k - 1`` iterations
+        past the stopping point (the returned lls show exactly where it
+        converged); leftover ``num_iters % k`` iterations run single-step.
 
         ``mesh``: optional ``jax.sharding.Mesh`` — trials are sharded across
         its first axis (data-parallel EM). The E-step is independent per
@@ -730,9 +743,9 @@ class ARHMM:
             self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
             # the compiled step closes over the mesh: cache per mesh, or a
             # second fit with a different mesh would silently reuse the first
+            base_fn = lambda p, x_d, m_d: self._em_step_sp(p, x_d, m_d, mesh)  # noqa: E731
             if self._fit_step_sp is None or self._fit_step_sp[0] != mesh:
-                self._fit_step_sp = (mesh, jax.jit(
-                    lambda p, x_d, m_d: self._em_step_sp(p, x_d, m_d, mesh)))
+                self._fit_step_sp = (mesh, jax.jit(base_fn))
             step = self._fit_step_sp[1]
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -753,13 +766,30 @@ class ARHMM:
             if self._fit_step is None:
                 self._fit_step = jax.jit(self._em_step)
             step = self._fit_step
+            base_fn = self._em_step
+        k = max(1, int(iters_per_dispatch))
+        scan_step = None
+        if k > 1:
+            cache_key = (mesh, bool(shard_time), k)
+            if self._fit_scan is None or self._fit_scan[0] != cache_key:
+                def _scan_k(p, x_d, m_d):
+                    def body(p, _):
+                        p, ll = base_fn(p, x_d, m_d)
+                        return p, ll
+                    return jax.lax.scan(body, p, None, length=k)
+                self._fit_scan = (cache_key, jax.jit(_scan_k))
+            scan_step = self._fit_scan[1]
         lls = []
-        for _ in range(num_iters):
-            self.params, ll = step(self.params, x, mask)
-            lls.append(float(ll))
+        while len(lls) < num_iters:
             # relative-tolerance convergence stop (ssm HMM.fit semantics; the
             # same rule the CLI applies to val LL, arhmm_grid_search.py)
             if tolerance > 0 and len(lls) >= 2 and \
                     abs((lls[-1] - lls[-2]) / lls[-1]) < tolerance:
                 break
+            if scan_step is not None and num_iters - len(lls) >= k:
+                self.params, ll_k = scan_step(self.params, x, mask)
+                lls.extend(float(v) for v in np.asarray(ll_k))
+            else:
+                self.params, ll = step(self.params, x, mask)
+                lls.append(float(ll))
         return lls

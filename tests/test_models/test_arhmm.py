@@ -291,3 +291,53 @@ class TestStudentstNu:
         lls = np.array(lls)
         assert np.isfinite(lls).all()
         assert lls[-1] > lls[0]
+
+
+class TestItersPerDispatch:
+    """fit(iters_per_dispatch=k) scans k EM iterations in one device program."""
+
+    def _fit_pair(self, k, num_iters):
+        x, _ = make_ar_hmm_data()
+        ref = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        ref.initialize([x])
+        lls_ref = ref.fit([x], num_iters=num_iters)
+        fused = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        fused.initialize([x])
+        lls_fused = fused.fit([x], num_iters=num_iters, iters_per_dispatch=k)
+        return ref, lls_ref, fused, lls_fused
+
+    def test_matches_sequential(self):
+        ref, lls_ref, fused, lls_fused = self._fit_pair(k=3, num_iters=6)
+        assert len(lls_fused) == len(lls_ref) == 6
+        np.testing.assert_allclose(lls_fused, lls_ref, rtol=1e-5)
+        for key in ref.params:
+            np.testing.assert_allclose(
+                np.asarray(fused.params[key]), np.asarray(ref.params[key]),
+                rtol=1e-4, atol=1e-5, err_msg=key)
+
+    def test_remainder_runs_single_step(self):
+        # 7 = 4 + 3 leftover: the tail falls back to the per-iteration step
+        ref, lls_ref, fused, lls_fused = self._fit_pair(k=4, num_iters=7)
+        assert len(lls_fused) == 7
+        np.testing.assert_allclose(lls_fused, lls_ref, rtol=1e-5)
+
+    def test_tolerance_chunk_granularity(self):
+        x, _ = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        tol = 1e-3
+        lls = hmm.fit([x], num_iters=40, tolerance=tol, iters_per_dispatch=4)
+        assert len(lls) <= 40
+        if len(lls) < 40:  # stopped: the rule must actually have fired
+            assert abs((lls[-1] - lls[-2]) / lls[-1]) < tol
+
+    def test_pickle_after_fused_fit(self):
+        import pickle
+        x, _ = make_ar_hmm_data()
+        hmm = ARHMM(K=2, D=2, lags=1, observations='ar', rng_seed=0)
+        hmm.initialize([x])
+        hmm.fit([x], num_iters=4, iters_per_dispatch=2)
+        clone = pickle.loads(pickle.dumps(hmm))
+        assert clone._fit_scan is None
+        np.testing.assert_allclose(
+            np.asarray(clone.params['As']), np.asarray(hmm.params['As']))
