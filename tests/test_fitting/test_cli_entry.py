@@ -8,7 +8,11 @@ loudly instead of producing a wheel with dead scripts.
 
 import importlib
 import os
-import tomllib
+
+try:
+    import tomllib  # Python >= 3.11
+except ImportError:  # pragma: no cover - 3.10 fallback
+    import tomli as tomllib
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

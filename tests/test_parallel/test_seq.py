@@ -218,6 +218,30 @@ class TestShardTimeEM:
                 np.asarray(h1.params[key]), np.asarray(h0.params[key]),
                 rtol=1e-3, atol=1e-4, err_msg=key)
 
+    @pytest.mark.parametrize('shard_time', [False, True])
+    def test_iters_per_dispatch_composes_with_mesh(self, mesh, shard_time):
+        """fit(iters_per_dispatch=k) with mesh=/shard_time= matches the
+        sequential single-device fit (the fused-dispatch scan branch caches
+        a mesh-closing program; ADVICE r3 flagged it as untested)."""
+        from behavenet_tpu.models.arhmm import ARHMM
+        rng = np.random.RandomState(0)
+        datas = [rng.randn(157, 2).astype(np.float32) for _ in range(2)]
+
+        h0 = ARHMM(K=3, D=2, observations='ar', rng_seed=0)
+        h0.initialize(datas)
+        lls0 = h0.fit(datas, num_iters=4)
+
+        h1 = ARHMM(K=3, D=2, observations='ar', rng_seed=0)
+        h1.initialize(datas)
+        lls1 = h1.fit(datas, num_iters=4, mesh=mesh, shard_time=shard_time,
+                      iters_per_dispatch=2)
+
+        np.testing.assert_allclose(lls1, lls0, rtol=1e-4)
+        for key in ('As', 'bs', 'Sigmas', 'log_Ps', 'log_pi0'):
+            np.testing.assert_allclose(
+                np.asarray(h1.params[key]), np.asarray(h0.params[key]),
+                rtol=1e-3, atol=1e-4, err_msg=key)
+
     def test_recurrent_raises(self, mesh):
         from behavenet_tpu.models.arhmm import ARHMM
         h = ARHMM(K=2, D=2, observations='ar', transitions='recurrent',
