@@ -3,8 +3,12 @@
 Stages (each independently guarded against transient tunnel errors):
 
 1. **Compute throughput** — conv-AE train step (fwd+bwd+Adam fused) on
-   device-resident 128x128 uint8 batches at the reference's 189-frame trial
-   shape and a production 1024-frame shape. This is the upper bound.
+   device-resident 128x128 uint8 batches. The headline is the reference's
+   published workload: the 2-view Musall dataset at 189-frame trial
+   batches (reference examples/01_ae.ipynb:21, shape (189, 2, 128, 128));
+   the 1-view batch-1024 point is the per-chip ceiling. Every stage
+   reports MFU from the analytic FLOP model in ``utils/flops.py`` against
+   bf16 peak (v5e 197 TF default; override via BENCH_PEAK_TFLOPS).
 2. **Streamed training throughput** — a real multi-trial HDF5 session on
    disk streamed through ``ConcatSessionsGenerator`` + the async prefetch
    pipeline into the same jitted step: epoch frames/sec with the
@@ -54,7 +58,8 @@ def _ae_hparams(img=(1, 128, 128), compute_dtype='bfloat16', **extra):
         bf16_pipeline=compute_dtype == 'bfloat16', **extra)
 
 
-def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1):
+def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1,
+            img=(1, 128, 128)):
     """Device-resident train-step throughput (compute upper bound)."""
     import jax
     import jax.numpy as jnp
@@ -62,7 +67,7 @@ def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1):
     from behavenet_tpu.fitting.training import make_multi_step, make_train_functions
     from behavenet_tpu.models import AE
 
-    hp = _ae_hparams()
+    hp = _ae_hparams(img=img)
     model = AE(hp)
     tx, train_step, _ = make_train_functions(model, hp)
     params = model.init(jax.random.PRNGKey(0))
@@ -70,7 +75,7 @@ def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1):
     rng = jax.random.PRNGKey(1)
     x = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, size=(batch, hp['y_pixels'],
-                                                       hp['x_pixels'], 1)),
+                                                       hp['x_pixels'], img[0])),
         dtype=jnp.uint8)
     b = {'images': x}
 
@@ -91,8 +96,9 @@ def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1):
     t0 = time.perf_counter()
     params, opt_state, m = train_step(params, opt_state, rng, b, {}, 0, None)
     _ = float(m['loss'])
-    print('batch=%d spd=%d compile+first step: %.0fs'
-          % (batch, spd, time.perf_counter() - t0), file=sys.stderr)
+    print('img=%s batch=%d spd=%d compile+first step: %.0fs'
+          % ('x'.join(map(str, img)), batch, spd, time.perf_counter() - t0),
+          file=sys.stderr)
     params, opt_state, m = train_step(params, opt_state, rng, b, {}, 0, None)
     _ = float(m['loss'])
 
@@ -107,8 +113,9 @@ def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1):
         final_loss = float(m['loss'])  # host fetch = true sync
         dt = time.perf_counter() - t0
         fps = n_steps * spd * batch / dt
-        print('batch=%d spd=%d rep=%d: %.0f frames/s (%.2f ms/step, final loss %.5f)' % (
-            batch, spd, rep, fps, dt / (n_steps * spd) * 1e3, final_loss), file=sys.stderr)
+        print('img=%s batch=%d spd=%d rep=%d: %.0f frames/s (%.2f ms/step, final loss %.5f)' % (
+            'x'.join(map(str, img)), batch, spd, rep, fps,
+            dt / (n_steps * spd) * 1e3, final_loss), file=sys.stderr)
         assert np.isfinite(final_loss)
         best = max(best, fps)
     return best
@@ -368,30 +375,55 @@ def main():
     def elapsed():
         return time.time() - t_start
 
-    # 1. compute throughput (primary BASELINE metric)
-    results = {}
-    for batch, spd in ((189, 1), (189, 8), (1024, 1)):
+    from behavenet_tpu.models.arch import load_handcrafted_arch
+    from behavenet_tpu.utils.flops import V5E_BF16_PEAK, ae_train_flops_per_frame
+
+    peak = float(os.environ.get('BENCH_PEAK_TFLOPS', V5E_BF16_PEAK / 1e12)) * 1e12
+    tf_per_frame = {
+        c: ae_train_flops_per_frame(
+            load_handcrafted_arch([c, 128, 128], 12, None, check_memory=False))
+        for c in (1, 2)}
+
+    # 1. compute throughput. The headline is the reference's published
+    # workload: the 2-view Musall dataset at 189-frame trial batches
+    # (reference examples/01_ae.ipynb:21, batch shape (189, 2, 128, 128)).
+    # The 1-view batch-1024 point is the per-chip ceiling.
+    results = {}  # (n_views, batch) -> best fps
+    for views, batch, spd in ((2, 189, 1), (2, 189, 8), (1, 1024, 1), (1, 189, 8)):
         if elapsed() > 0.45 * budget:
             # a dead tunnel burns ~25 min per backend-init attempt; stop
             # retrying configs so the host-side stages + JSON line still land
-            print('skipping batch=%d spd=%d (%.0fs elapsed)'
-                  % (batch, spd, elapsed()), file=sys.stderr)
+            print('skipping views=%d batch=%d spd=%d (%.0fs elapsed)'
+                  % (views, batch, spd, elapsed()), file=sys.stderr)
             continue
         try:
-            fps = measure(batch, steps_per_dispatch=spd)
-            results[batch] = max(results.get(batch, 0.0), fps)
+            fps = measure(batch, steps_per_dispatch=spd, img=(views, 128, 128))
+            key = (views, batch)
+            results[key] = max(results.get(key, 0.0), fps)
         except Exception as e:  # keep the bench robust to transient tunnel errors
-            print('batch=%d spd=%d failed: %s' % (batch, spd, e), file=sys.stderr)
+            print('views=%d batch=%d spd=%d failed: %s'
+                  % (views, batch, spd, e), file=sys.stderr)
+
+    def _stage(views, batch):
+        fps = results.get((views, batch))
+        if not fps:
+            return None
+        return {'frames_per_sec': round(fps, 1),
+                'train_gflops_per_frame': round(tf_per_frame[views] / 1e9, 3),
+                'mfu': round(fps * tf_per_frame[views] / peak, 4)}
+
     error = None
     if results:
-        best_batch = max(results, key=results.get)
-        fps = results[best_batch]
+        # headline = the published workload if it ran, else the best point
+        head = (2, 189) if (2, 189) in results else max(results, key=results.get)
+        fps = results[head]
+        head_label = '%dx128x128, batch %d' % ((head[0],) + (head[1],))
     else:
         # never exit without the JSON line: report the failure and still run
         # every stage that doesn't need the device (staging, parity)
         error = 'all TPU compute configs failed (backend unavailable?)'
         print(error, file=sys.stderr)
-        best_batch, fps = 189, 0.0
+        head, fps, head_label = (2, 189), 0.0, '2x128x128, batch 189'
 
     # 2. streamed end-to-end training
     streamed = None
@@ -400,9 +432,21 @@ def main():
     elif elapsed() < 0.55 * budget:
         try:
             s_fps, host_gbps, frames_per_epoch = measure_streamed()
+            # what a real TPU host would see: on co-located hardware the
+            # host->device copy rides PCIe (>10 GB/s) and overlaps with
+            # compute via the prefetch pipeline, so the epoch rate is
+            # min(host staging rate, device step rate). Through the axon
+            # tunnel the upload serializes at ~0.05 GB/s, which is what
+            # bounds `frames_per_sec` here; `projected_frames_per_sec`
+            # carries the min-combination bound alongside the raw number.
+            host_fps = host_gbps * 1e9 / (128 * 128)  # 1-view uint8 frames
+            step_fps = results.get((1, 189), 0.0) or fps
             streamed = {
                 'frames_per_sec': round(s_fps, 1),
                 'host_staging_gb_per_sec': round(host_gbps, 3),
+                'host_staging_frames_per_sec': round(host_fps, 1),
+                'projected_frames_per_sec': round(min(host_fps, step_fps), 1)
+                if step_fps else None,
                 'frames_per_epoch': frames_per_epoch,
             }
         except Exception as e:
@@ -449,11 +493,16 @@ def main():
         print('skipping parity check (%.0fs elapsed)' % elapsed(), file=sys.stderr)
 
     print(json.dumps({
-        'metric': 'AE train frames/sec/chip (128x128, batch %d)' % best_batch,
+        'metric': 'AE train frames/sec/chip (%s)' % head_label,
         'value': round(fps, 1),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / TARGET_FPS, 3),
-        'fps_trial_batch_189': round(results.get(189, 0.0), 1),
+        'fps_2view_189': round(results.get((2, 189), 0.0), 1),
+        'fps_1view_189': round(results.get((1, 189), 0.0), 1),
+        'fps_1view_1024': round(results.get((1, 1024), 0.0), 1),
+        'mfu_2view_189': (_stage(2, 189) or {}).get('mfu'),
+        'stages': {'%dview_%d' % k: _stage(*k) for k in sorted(results)},
+        'peak_tflops': round(peak / 1e12, 1),
         'streamed': streamed,
         'host_staging_2view': staging_2view,
         'arhmm_em_iters_per_sec': em_ips,
