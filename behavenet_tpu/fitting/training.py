@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from behavenet_tpu.models import base as models_base
+from behavenet_tpu.ops import optim
 
 __all__ = ['Logger', 'EarlyStopping', 'fit', 'print_epoch']
 
@@ -203,7 +204,7 @@ def make_train_functions(model, hparams):
         # torch Adam weight_decay semantics: l2 added to gradients *before*
         # the moment updates (reference training.py:284-286)
         chain.append(optax.add_decayed_weights(wd, mask=mask_fn))
-    chain.append(optax.amsgrad(lr))
+    chain.append(optim.amsgrad(lr))
     tx = optax.chain(*chain)
 
     def train_step(params, opt_state, rng, batch, loss_kwargs, dataset, seg_lens):

@@ -42,7 +42,12 @@ def torch_state_dict_to_params(state_dict, model, params):
     -------
     new params pytree
     """
-    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
+    # always copy: jnp.asarray zero-copies contiguous host arrays, and a
+    # torch-tensor .numpy() view would leave the params pytree aliasing live
+    # torch parameter memory (later optimizer.step() mutations would race
+    # with asynchronously dispatched jax reads — found round 4 via the
+    # lockstep parity harness)
+    sd = {k: np.array(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
           for k, v in state_dict.items()}
     new = {k: (dict(v) if isinstance(v, dict) else v) for k, v in params.items()}
     new['encoder'] = dict(params['encoder'])

@@ -346,20 +346,27 @@ def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
 
 
 def measure_parity():
-    """Torch lockstep training parity in a CPU subprocess; returns gap (%)."""
+    """Torch lockstep training parity (ae / psvae / decoder) in a CPU subprocess.
+
+    Returns a dict of converged-regime relative gaps in %, one per model,
+    plus 'worst' (the max; BASELINE target < 1%).
+    """
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env['PALLAS_AXON_POOL_IPS'] = ''
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       'tools', 'parity_check.py'), '--json'],
-        env=env, capture_output=True, text=True, timeout=1800)
+        env=env, capture_output=True, text=True, timeout=3600)
     print(out.stdout, file=sys.stderr)
     if out.returncode not in (0, 1):
         raise RuntimeError('parity_check failed: %s' % out.stderr[-2000:])
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith('{'):
-            return float(json.loads(line)['converged_rel_gap_pct'])
+            d = json.loads(line)
+            gaps = {k: round(v, 5) for k, v in d.items() if k != 'converged_rel_gap_pct'}
+            gaps['worst'] = round(d['converged_rel_gap_pct'], 5)
+            return gaps
     raise RuntimeError('no JSON line from parity_check')
 
 
@@ -486,7 +493,7 @@ def main():
     parity = None
     if elapsed() < 0.85 * budget:
         try:
-            parity = round(measure_parity(), 5)
+            parity = measure_parity()
         except Exception as e:
             print('parity check failed: %s' % e, file=sys.stderr)
     else:

@@ -1,0 +1,25 @@
+"""Short lockstep torch-parity regressions for PS-VAE and the MLP decoder.
+
+The full 200-step harness lives in tools/parity_check.py (run by bench.py);
+these short runs catch regressions in loss arithmetic, weight import, the
+shared-eps sampling path, and the torch-exact optimizer.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..', '..', 'tools'))
+
+import parity_check  # noqa: E402
+
+
+class TestLockstepParity:
+
+    def test_psvae_lockstep_short(self):
+        gap = parity_check.parity_psvae(n_steps=12, batch=16, report_every=1000)
+        assert gap < 1e-4, 'psvae lockstep gap %.6f%%' % (gap * 100)
+
+    def test_decoder_lockstep_short(self):
+        gap = parity_check.parity_decoder(n_steps=12, T=120, report_every=1000)
+        assert gap < 1e-4, 'decoder lockstep gap %.6f%%' % (gap * 100)

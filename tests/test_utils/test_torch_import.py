@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from behavenet_tpu.models import AE
 from behavenet_tpu.models import arch as arch_mod
+from behavenet_tpu.ops import optim
 from behavenet_tpu.utils.torch_import import (params_to_torch_state_dict,
                                               torch_state_dict_to_params)
 
@@ -83,7 +84,8 @@ class TorchRefAE(nn.Module):
             c_in = hp['ae_decoding_n_channels'][i]
         self.dec = dec
 
-    def forward(self, x):
+    def encode_features(self, x):
+        """Conv stack -> flattened features (the reference's ``x1``)."""
         for i in range(len(self.hp['ae_encoding_n_channels'])):
             x0, x1, y0, y1 = self.enc_pads[i]
             x = F.pad(x, (x0, x1, y0, y1))
@@ -91,7 +93,10 @@ class TorchRefAE(nn.Module):
             if self.bn:
                 x = self.enc['batchnorm%i' % i](x)
             x = F.leaky_relu(x, 0.05)
-        z = self.FF_enc(x.reshape(x.shape[0], -1))
+        return x.reshape(x.shape[0], -1)
+
+    def decode(self, z):
+        """Latents -> reconstructed images through the tconv stack."""
         y = self.FF_dec(z)
         c, h, w = self.hp['ae_decoding_starting_dim']
         y = y.reshape(-1, c, h, w)
@@ -106,7 +111,11 @@ class TorchRefAE(nn.Module):
                 if self.bn:
                     y = self.dec['batchnorm%i' % i](y)
                 y = F.leaky_relu(y, 0.05)
-        return y, z
+        return y
+
+    def forward(self, x):
+        z = self.FF_enc(self.encode_features(x))
+        return self.decode(z), z
 
     def reference_state_dict(self):
         """State dict with the reference's key naming (aes.py module names)."""
@@ -201,7 +210,7 @@ class TestTrainingParity:
 
         lr = 1e-3
         import optax
-        tx = optax.amsgrad(lr)
+        tx = optim.amsgrad(lr)
         opt_state = tx.init(params)
         opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
 

@@ -1,0 +1,219 @@
+"""Torch reference models + losses for lockstep training-parity checks.
+
+These mirror the reference's PS-VAE (vaes.py:506-846, encoder
+vaes.py:1276-1364) and MLP neural decoder (decoders.py:14-327) behavior —
+same module graph, same loss arithmetic — with the reference's state-dict
+key naming so checkpoints import through ``utils/torch_import.py``. Used
+by ``tools/parity_check.py`` and the lockstep pytest suite; not a copy of
+reference code (independent implementations of the documented math).
+"""
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from .test_torch_import import TorchRefAE  # noqa: F401 (re-export)
+
+LN2PI = float(np.log(2 * np.pi))
+
+
+# ---------------------------------------------------------------------------
+# torch mirrors of the reference loss zoo (fitting/losses.py)
+
+def t_gaussian_ll(y_pred, y_mean, masks=None, std=1.0):
+    """Diagonal-Gaussian LL summed over dims, averaged over batch (ref :63-98)."""
+    n_dims = int(np.prod(y_pred.shape[1:]))
+    diff_sq = (y_pred - y_mean) ** 2
+    if masks is not None:
+        diff_sq = diff_sq * masks
+    ll = -(0.5 * LN2PI + 0.5 * np.log(std ** 2)) * n_dims \
+        - (0.5 / std ** 2) * diff_sq.reshape(diff_sq.shape[0], -1).sum(dim=1)
+    return ll.mean()
+
+
+def t_kl_div_to_std_normal(mu, logvar):
+    """KL(q || N(0,1)) summed over dims, averaged over batch (ref :131-147)."""
+    return (0.5 * torch.sum(logvar.exp() - logvar + mu.pow(2) - 1, dim=1)).mean()
+
+
+def _t_log_density(z, mu, logvar):
+    return -0.5 * (torch.exp(-logvar) * (z - mu) ** 2 + logvar + LN2PI)
+
+
+def t_decomposed_kl(z, mu, logvar):
+    """Minibatch (MI, TC, DWKL) estimators (ref :284-351)."""
+    log_qz_prob = _t_log_density(z[:, None], mu[None, :], logvar[None, :])
+    summed = log_qz_prob.sum(dim=2)
+    log_qz = torch.logsumexp(summed, dim=1)
+    log_qz_cond = torch.diag(summed)
+    log_qz_product = torch.logsumexp(log_qz_prob, dim=1).sum(dim=1)
+    log_pz_product = (-0.5 * (z ** 2 + LN2PI)).sum(dim=1)
+    mi = (log_qz_cond - log_qz).mean()
+    tc = (log_qz - log_qz_product).mean()
+    dwkl = (log_qz_product - log_pz_product).mean()
+    return mi, tc, dwkl
+
+
+# ---------------------------------------------------------------------------
+# PS-VAE
+
+class TorchRefPSVAE(TorchRefAE):
+    """Torch PS-VAE with the reference's module graph and key naming.
+
+    Encoder conv stack + FF (``hidden_layer_size == n_ae_latents``) feed
+    fixed orthogonal maps A (-> supervised) / B (-> unsupervised); logvar
+    comes off the pre-FF features; D is a trainable diagonal map from the
+    supervised subspace to labels (reference vaes.py:1276-1364).
+    ``forward`` takes an explicit ``eps`` so a lockstep harness can share
+    the sampling noise with the JAX side; the reference's
+    ``std = exp(logvar)`` reparameterization quirk (vaes.py:17-35) is kept.
+    """
+
+    def __init__(self, hp):
+        super().__init__(hp)
+        n_latents = hp['n_ae_latents']
+        n_labels = hp['n_labels']
+        fc_in = self.FF_enc.in_features
+        self.logvar = nn.Linear(fc_in, n_latents)
+        self.A = nn.Linear(n_latents, n_labels, bias=False)
+        self.B = nn.Linear(n_latents, n_latents - n_labels, bias=False)
+        m = TorchRefPSVAE.ortho_m(hp.get('rng_seed_model', 0), n_latents)
+        with torch.no_grad():
+            self.A.weight = nn.Parameter(torch.from_numpy(m[:n_labels].copy()),
+                                         requires_grad=False)
+            self.B.weight = nn.Parameter(torch.from_numpy(m[n_labels:].copy()),
+                                         requires_grad=False)
+        # diagonal label map (reference base.py:70 DiagLinear)
+        bound = 1.0 / np.sqrt(n_labels)
+        self.D_weight = nn.Parameter(torch.empty(n_labels).uniform_(-bound, bound))
+        self.D_bias = nn.Parameter(torch.empty(n_labels).uniform_(-bound, bound))
+
+    @staticmethod
+    def ortho_m(seed, dim):
+        from scipy.stats import ortho_group
+        rng = np.random.RandomState(seed)
+        return ortho_group.rvs(dim=dim, random_state=rng).astype(np.float32)
+
+    def forward(self, x, eps=None):
+        x1 = self.encode_features(x)
+        mu_ff = self.FF_enc(x1)
+        logvar = self.logvar(x1)
+        y = self.A(mu_ff)
+        w = self.B(mu_ff)
+        mu = torch.cat([y, w], dim=1)
+        if eps is None:
+            z = mu
+        else:
+            z = eps * torch.exp(logvar) + mu
+        x_hat = self.decode(z)
+        y_hat = y * self.D_weight + self.D_bias
+        return x_hat, z, mu, logvar, y_hat
+
+    def loss(self, x, labels, eps, alpha, beta, kl=1.0):
+        """Reference PSVAE.loss arithmetic, single chunk (vaes.py:605-700)."""
+        n_labels = self.hp['n_labels']
+        x_hat, sample, mu, logvar, y_hat = self.forward(x, eps=eps)
+        loss = -t_gaussian_ll(x, x_hat)
+        loss = loss - alpha * t_gaussian_ll(labels, y_hat)
+        loss = loss + t_kl_div_to_std_normal(mu[:, :n_labels], logvar[:, :n_labels])
+        mi, tc, dwkl = t_decomposed_kl(
+            sample[:, n_labels:], mu[:, n_labels:], logvar[:, n_labels:])
+        loss = loss + kl * mi + beta * tc + kl * dwkl
+        return loss
+
+    def reference_state_dict(self):
+        sd = super().reference_state_dict()
+        sd['encoding.logvar.weight'] = self.logvar.weight
+        sd['encoding.logvar.bias'] = self.logvar.bias
+        sd['encoding.A.weight'] = self.A.weight
+        sd['encoding.B.weight'] = self.B.weight
+        sd['encoding.D.weight'] = self.D_weight
+        sd['encoding.D.bias'] = self.D_bias
+        return sd
+
+
+# ---------------------------------------------------------------------------
+# MLP neural decoder
+
+class TorchRefMLPDecoder(nn.Module):
+    """Torch MLP decoder: temporal Conv1d first layer + dense stack.
+
+    Mirrors the reference's module graph (decoders.py:155-326): Conv1d over
+    time with kernel ``2*n_lags+1`` and same padding, mid-layer activations,
+    final-layer activation selected by the noise dist (softplus for
+    poisson, identity for gaussian/categorical).
+    """
+
+    _ACTS = {'linear': None, 'relu': F.relu,
+             'lrelu': lambda x: F.leaky_relu(x, 0.05),
+             'sigmoid': torch.sigmoid, 'tanh': torch.tanh}
+
+    def __init__(self, hp):
+        super().__init__()
+        self.hp = hp
+        in_size = hp['input_size']
+        n_hid = hp['n_hid_layers']
+        out0 = hp['output_size'] if n_hid == 0 else hp['n_hid_units']
+        self.conv = nn.Conv1d(in_size, out0, hp['n_lags'] * 2 + 1,
+                              padding=hp['n_lags'])
+        self.dense = nn.ModuleList()
+        cur = out0
+        for i in range(n_hid):
+            nxt = hp['output_size'] if i == n_hid - 1 else hp['n_hid_units']
+            self.dense.append(nn.Linear(cur, nxt))
+            cur = nxt
+
+    def forward(self, x):
+        """x: (time, neurons) -> predictions (time, output_size)."""
+        hp = self.hp
+        act = self._ACTS[hp.get('activation', 'relu')]
+        final_act = F.softplus if hp['noise_dist'] == 'poisson' else None
+        h = self.conv(x.transpose(1, 0).unsqueeze(0)).squeeze(0).transpose(1, 0)
+        n_hid = hp['n_hid_layers']
+        if n_hid == 0:
+            return final_act(h) if final_act is not None else h
+        if act is not None:
+            h = act(h)
+        for i, layer in enumerate(self.dense):
+            h = layer(h)
+            if i == n_hid - 1:
+                if final_act is not None:
+                    h = final_act(h)
+            elif act is not None:
+                h = act(h)
+        return h
+
+    def loss(self, predictors, targets):
+        """Reference Decoder.loss arithmetic, single chunk (decoders.py:70-152).
+
+        Returns the chunk-weighted loss ``mse(window) * (T - 2L) / T``; the
+        reference backprops the unscaled per-chunk mean, which differs only
+        by a positive constant (invisible to Adam up to eps effects) — the
+        lockstep harness backprops this scaled value to match the JAX
+        gradient exactly.
+        """
+        L = self.hp['n_max_lags']
+        T = targets.shape[0]
+        out = self.forward(predictors)
+        mse = torch.mean((out[L:T - L] - targets[L:T - L]) ** 2)
+        return mse * (T - 2 * L) / T
+
+    def to_jax_params(self):
+        """Export weights as a behavenet_tpu MLP params pytree.
+
+        Copies explicitly: jnp.asarray zero-copies contiguous host arrays,
+        and a .numpy() view of a live torch parameter would alias memory
+        that optimizer.step() later mutates in place.
+        """
+        import jax.numpy as jnp
+        params = {'conv': {
+            'w': jnp.asarray(self.conv.weight.detach().numpy().transpose(2, 1, 0).copy()),
+            'b': jnp.asarray(self.conv.bias.detach().numpy().copy()),
+        }}
+        for i, layer in enumerate(self.dense):
+            params['dense_%d' % i] = {
+                'w': jnp.asarray(layer.weight.detach().numpy().T.copy()),
+                'b': jnp.asarray(layer.bias.detach().numpy().copy()),
+            }
+        return params
