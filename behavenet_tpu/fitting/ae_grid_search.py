@@ -152,6 +152,8 @@ def main_group(trial_list):
         from behavenet_tpu.models import BetaTCVAE as Model
     elif mc == 'ps-vae':
         from behavenet_tpu.models import PSVAE as Model
+    elif mc == 'msps-vae':
+        from behavenet_tpu.models import MSPSVAE as Model
     else:
         raise NotImplementedError(
             'vmap_trials does not support model class "%s"' % mc)

@@ -33,7 +33,11 @@ share one compiled program and one data stream):
 
 Semantics match k independent fits up to f32 reassociation (the grouped
 conv reduces in a different order); asserted by tests/test_fitting/
-test_vmap_grid.py. Multisession ``seg_lens`` batches are not supported.
+test_vmap_grid.py. Multisession ``seg_lens`` batches (the MSPS-VAE
+α/β/δ search, reference docs/source/adv_user_guide.psvae_hparam_search
+.rst:10-27) thread the static per-segment lengths through the jitted step
+exactly like the sequential trainer: one compiled program per seg_lens
+bucket combination, all k trials inside it.
 """
 
 import os
@@ -43,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from behavenet_tpu.ops import optim
 from behavenet_tpu.fitting.training import (
     _STATE_LEAVES, _normalize_images, merge_state)
 
@@ -61,6 +66,8 @@ _VMAPPABLE_BY_CLASS = {
     'vae': {'vae.beta', 'vae.beta_anneal_epochs'},
     'beta-tcvae': {'beta_tcvae.beta', 'beta_tcvae.beta_anneal_epochs'},
     'ps-vae': {'ps_vae.alpha', 'ps_vae.beta', 'ps_vae.anneal_epochs'},
+    'msps-vae': {'ps_vae.alpha', 'ps_vae.beta', 'ps_vae.delta',
+                 'ps_vae.anneal_epochs'},
 }
 
 
@@ -168,11 +175,14 @@ def make_vmap_grid_functions(model, base_hparams, trials, mode='scan'):
         chain = []
         if use_wd:
             chain.append(optax.add_decayed_weights(wd, mask=mask_fn))
-        chain.append(optax.amsgrad(lr))
+        chain.append(optim.amsgrad(lr))
         return optax.chain(*chain)
 
-    def one_train_step(params, opt_state, rng, batch, loss_kwargs, lr, wd):
+    def one_train_step(params, opt_state, rng, batch, loss_kwargs, lr, wd,
+                       seg_lens):
         extra = {'train': True} if has_state else {}
+        if seg_lens is not None:
+            extra['seg_lens'] = seg_lens
 
         def lf(p):
             return model.loss_fn(p, batch, rng, dataset=0, **extra, **loss_kwargs)
@@ -184,39 +194,45 @@ def make_vmap_grid_functions(model, base_hparams, trials, mode='scan'):
             params = merge_state(params, state)
         return params, opt_state, metrics
 
-    def one_eval_step(params, rng, batch, loss_kwargs):
-        _, metrics = model.loss_fn(params, batch, rng, dataset=0, **loss_kwargs)
+    def one_eval_step(params, rng, batch, loss_kwargs, seg_lens):
+        extra = {} if seg_lens is None else {'seg_lens': seg_lens}
+        _, metrics = model.loss_fn(params, batch, rng, dataset=0, **extra,
+                                   **loss_kwargs)
         return metrics
 
-    if mode == 'vmap':
-        v_train = jax.vmap(one_train_step, in_axes=(0, 0, 0, None, 0, 0, 0))
-        v_eval = jax.vmap(one_eval_step, in_axes=(0, 0, None, 0))
-    else:
-        def v_train(params_k, opt_state_k, rngs_k, batch, loss_kwargs_k, lrs, wds):
-            # lax.map = scan over trials: one trial's program body compiled
-            # once, batch captured as a shared constant
-            return jax.lax.map(
-                lambda xs: one_train_step(xs[0], xs[1], xs[2], batch, xs[3],
-                                          xs[4], xs[5]),
-                (params_k, opt_state_k, rngs_k, loss_kwargs_k, lrs, wds))
+    # seg_lens is a static per-bucket tuple (jit static_argnames below), so
+    # the per-mode fan-out closes over it alongside the shared batch
+    def train_step(params_k, opt_state_k, rngs_k, batch, loss_kwargs_k,
+                   seg_lens=None):
+        batch = _normalize_images(batch)
 
-        def v_eval(params_k, rngs_k, batch, loss_kwargs_k):
-            return jax.lax.map(
-                lambda xs: one_eval_step(xs[0], xs[1], batch, xs[2]),
-                (params_k, rngs_k, loss_kwargs_k))
+        def step1(params, opt_state, rng, loss_kwargs, lr, wd):
+            return one_train_step(params, opt_state, rng, batch, loss_kwargs,
+                                  lr, wd, seg_lens)
+        if mode == 'vmap':
+            return jax.vmap(step1)(params_k, opt_state_k, rngs_k,
+                                   loss_kwargs_k, lrs, wds)
+        # lax.map = scan over trials: one trial's program body compiled
+        # once, batch captured as a shared constant
+        return jax.lax.map(lambda xs: step1(*xs),
+                           (params_k, opt_state_k, rngs_k, loss_kwargs_k, lrs, wds))
 
-    def train_step(params_k, opt_state_k, rngs_k, batch, loss_kwargs_k):
-        return v_train(params_k, opt_state_k, rngs_k,
-                       _normalize_images(batch), loss_kwargs_k, lrs, wds)
+    def eval_step(params_k, rngs_k, batch, loss_kwargs_k, seg_lens=None):
+        batch = _normalize_images(batch)
 
-    def eval_step(params_k, rngs_k, batch, loss_kwargs_k):
-        return v_eval(params_k, rngs_k, _normalize_images(batch), loss_kwargs_k)
+        def eval1(params, rng, loss_kwargs):
+            return one_eval_step(params, rng, batch, loss_kwargs, seg_lens)
+        if mode == 'vmap':
+            return jax.vmap(eval1)(params_k, rngs_k, loss_kwargs_k)
+        return jax.lax.map(lambda xs: eval1(*xs),
+                           (params_k, rngs_k, loss_kwargs_k))
 
     def init_opt(params_k):
         return jax.vmap(lambda p, lr, wd: _tx(lr, wd).init(p))(params_k, lrs, wds)
 
-    train_step = jax.jit(train_step, donate_argnums=(0, 1))
-    eval_step = jax.jit(eval_step)
+    train_step = jax.jit(train_step, static_argnames=('seg_lens',),
+                         donate_argnums=(0, 1))
+    eval_step = jax.jit(eval_step, static_argnames=('seg_lens',))
     return init_opt, train_step, eval_step
 
 
@@ -262,10 +278,12 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     and metrics.csv rows, per-trial test rows and exports), with every
     trial consuming the SAME batch sequence — the point: one disk -> host
     -> device stream feeds k optimizer steps, so input-bound grids run ~k
-    times faster than the sequential trial loop. Not supported here (use
-    the sequential path): mid-run resume checkpoints, multisession
-    ``seg_lens`` batches, ``steps_per_dispatch`` (the trial scan already
-    amortizes dispatch), dp/tp sharding.
+    times faster than the sequential trial loop. Multisession ``seg_lens``
+    batches (MSPS-VAE) work: the static segment lengths select the compiled
+    program per bucket combination, as in the sequential trainer. Not
+    supported here (use the sequential path): mid-run resume checkpoints,
+    ``steps_per_dispatch`` (the trial scan already amortizes dispatch),
+    dp/tp sharding.
 
     Returns the list of per-trial best params.
     """
@@ -368,16 +386,14 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
             if data is not None:
                 batch, ds, seg_lens, _ = pre if pre is not None else \
                     _collate(data, dataset, model_class, hp0)
-                if seg_lens is not None:
-                    raise NotImplementedError(
-                        'vmap_trials does not support multisession seg_lens '
-                        'batches; unset vmap_trials for msps-vae fits')
                 keys, subs = split_keys()
                 if i_epoch > 0:
                     params_k, opt_state_k, metrics = train_step(
-                        params_k, opt_state_k, subs, batch, lk)
+                        params_k, opt_state_k, subs, batch, lk,
+                        seg_lens=seg_lens)
                 else:
-                    metrics = eval_step(params_k, subs, batch, lk)
+                    metrics = eval_step(params_k, subs, batch, lk,
+                                        seg_lens=seg_lens)
                 metrics = {key: np.asarray(v) for key, v in metrics.items()}
                 for i, lg in enumerate(loggers):
                     lg.update_metrics(
@@ -401,7 +417,8 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
                     data_v, d_val = data_generator.next_batch('val')
                     batch, ds, seg_lens, _ = _collate(data_v, d_val, model_class, hp0)
                     keys, subs = split_keys()
-                    metrics = eval_step(params_k, subs, batch, lk)
+                    metrics = eval_step(params_k, subs, batch, lk,
+                                        seg_lens=seg_lens)
                     metrics = {key: np.asarray(v) for key, v in metrics.items()}
                     for i, lg in enumerate(loggers):
                         lg.update_metrics(
@@ -444,7 +461,7 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
         data, dataset = data_generator.next_batch('test')
         batch, ds, seg_lens, trial = _collate(data, dataset, model_class, hp0)
         keys, subs = split_keys()
-        metrics = eval_step(best_k, subs, batch, lk_test)
+        metrics = eval_step(best_k, subs, batch, lk_test, seg_lens=seg_lens)
         metrics = {key: np.asarray(v) for key, v in metrics.items()}
         ds_idx = 0 if isinstance(ds, list) else ds
         for i, (lg, exp) in enumerate(zip(loggers, exps)):

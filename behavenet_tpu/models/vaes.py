@@ -420,8 +420,16 @@ class MSPSVAE(PSVAE):
         y_hat = base.diag_linear(params['encoder']['D'], z_s)
         return x_hat, z, mu, logvar, y_hat
 
+    def loss_kwargs(self, epoch):
+        # delta rides along as a traced scalar like alpha so the vmapped
+        # grid trainer can stack per-trial alpha/beta/delta values
+        # (fitting/vmap_grid.py); identical to the loss_fn default
+        kw = super().loss_kwargs(epoch)
+        kw['delta'] = jnp.float32(self.hparams['ps_vae.delta'])
+        return kw
+
     def loss_fn(self, params, batch, rng, dataset=0, beta=1.0, kl=1.0, alpha=None,
-                seg_lens=None, train=False):
+                delta=None, seg_lens=None, train=False):
         """Batch is a dataset-major concatenation of per-session trial segments.
 
         ``seg_lens`` (static tuple of per-session row counts) drives the
@@ -437,7 +445,8 @@ class MSPSVAE(PSVAE):
         n_bg = self.n_background
         if alpha is None:
             alpha = self.hparams['ps_vae.alpha']
-        delta = self.hparams['ps_vae.delta']
+        if delta is None:
+            delta = self.hparams['ps_vae.delta']
         rng_f, rng_t = jax.random.split(rng)
         stats = self._bn_stats(train)
         x_hat, sample, mu, logvar, y_hat = self.forward(

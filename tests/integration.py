@@ -79,6 +79,12 @@ MODELS_TO_FIT = [
      'overrides': {'ps_vae.alpha': [1, 5], 'vmap_trials': 2,
                    'experiment_name': 'psvae-vmap-expt'}},
     {'model_class': 'msps-vae', 'model_file': 'ae', 'sessions': 'all'},
+    # vmapped multisession alpha/delta grid: two msps-vae trials in ONE
+    # program over shared seg_lens batches (the documented PS-VAE hparam
+    # search, reference docs/source/adv_user_guide.psvae_hparam_search.rst)
+    {'model_class': 'msps-vae', 'model_file': 'ae', 'sessions': 'all',
+     'overrides': {'ps_vae.alpha': [1, 5], 'ps_vae.delta': 5,
+                   'vmap_trials': 2, 'experiment_name': 'mspsvae-vmap-expt'}},
     {'model_class': 'labels-images', 'model_file': 'label_decoder', 'sessions': SESSIONS[0]},
 ]
 
@@ -297,7 +303,7 @@ def check_model(config_dicts, data_dir, save_dir):
     return experiment_exists(hparams)
 
 
-def main(device='cpu'):
+def main(device='cpu', only=None):
     t_beg = time.time()
     tmp = tempfile.mkdtemp()
     data_dir = os.path.join(tmp, 'data')
@@ -323,7 +329,14 @@ def main(device='cpu'):
     json_dir = os.path.join(REPO, 'configs')
 
     results = {}
-    for model in MODELS_TO_FIT:
+    models_to_fit = MODELS_TO_FIT
+    if only:
+        models_to_fit = [m for m in models_to_fit
+                         if only in m['model_class']
+                         or only in str(m.get('overrides', {}))]
+        print('running %i/%i configs matching %r'
+              % (len(models_to_fit), len(MODELS_TO_FIT), only))
+    for model in models_to_fit:
         base_config_files = get_model_config_files(model['model_class'], json_dir)
         new_values = define_new_config_values(
             model['model_class'], model['sessions'], device)
@@ -369,5 +382,7 @@ def main(device='cpu'):
 if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--device', default='cpu', type=str)
+    parser.add_argument('--only', default=None, type=str,
+                        help='substring filter on model_class/overrides')
     namespace, _ = parser.parse_known_args()
-    sys.exit(main(namespace.device))
+    sys.exit(main(namespace.device, namespace.only))

@@ -156,3 +156,98 @@ class TestVmapGridPSVAE:
         assert kw0['beta'].shape == (2,)
         np.testing.assert_allclose(np.asarray(kw3['beta']), [4.0, 8.0])
         np.testing.assert_allclose(np.asarray(kw0['beta']), [0.0, 0.0])
+
+
+class TestVmapGridMSPSVAE:
+    """Multisession seg_lens batches in one vmapped program (VERDICT r3 item 3)."""
+
+    def _base(self):
+        from behavenet_tpu.models.arch import load_handcrafted_arch
+        a = load_handcrafted_arch([1, 32, 24], 10, None, check_memory=False)
+        return dict(a, model_class='msps-vae', model_type='conv', n_ae_latents=10,
+                    n_input_channels=1, y_pixels=32, x_pixels=24, rng_seed_model=0,
+                    n_labels=4, n_background=3, n_sessions_per_batch=2,
+                    learning_rate=1e-3, l2_reg=0.0, max_n_epochs=5,
+                    **{'ps_vae.alpha': 1.0, 'ps_vae.beta': 1.0, 'ps_vae.delta': 1.0})
+
+    def _batches(self, n, seg_lens=(8, 8)):
+        rs = np.random.RandomState(0)
+        out = []
+        for _ in range(n):
+            T = sum(seg_lens)
+            out.append({'images': jnp.asarray(rs.rand(T, 32, 24, 1), dtype=jnp.float32),
+                        'labels': jnp.asarray(rs.randn(T, 4), dtype=jnp.float32)})
+        return out
+
+    def test_alpha_delta_search_matches_independent_fits(self):
+        """The documented MSPS-VAE search: alpha/delta vary per trial, the
+        triplet loss runs on shared seg_lens batches (reference
+        docs/source/adv_user_guide.psvae_hparam_search.rst:10-27)."""
+        from behavenet_tpu.models import MSPSVAE
+
+        base = self._base()
+        trials = [{'ps_vae.alpha': 1.0},
+                  {'ps_vae.alpha': 50.0, 'ps_vae.delta': 10.0},
+                  {'ps_vae.delta': 0.0, 'learning_rate': 3e-4}]
+        seg = (8, 8)
+        batches = self._batches(3, seg)
+        rngs = jax.random.split(jax.random.PRNGKey(0), len(trials))
+
+        params_k, models = init_trials(lambda hp: MSPSVAE(hp), base, trials)
+        init_opt, vstep, veval = make_vmap_grid_functions(models[0], base, trials)
+        opt_k = init_opt(params_k)
+        lk = stack_loss_kwargs(models, trials, 0)
+        np.testing.assert_allclose(np.asarray(lk['alpha']), [1.0, 50.0, 1.0])
+        np.testing.assert_allclose(np.asarray(lk['delta']), [1.0, 10.0, 0.0])
+        lv, tv = [], []
+        for b in batches:
+            params_k, opt_k, m = vstep(params_k, opt_k, rngs, b, lk, seg_lens=seg)
+            lv.append(np.asarray(m['loss']))
+            tv.append(np.asarray(m['loss_triplet']))
+        lv, tv = np.array(lv), np.array(tv)
+        ev = np.asarray(veval(params_k, rngs, batches[0], lk, seg_lens=seg)['loss'])
+
+        # delta=0 trial has no triplet gradient but still reports the raw term
+        assert np.all(tv > 0)
+
+        for ti, t in enumerate(trials):
+            hp = dict(base, **t)
+            model = MSPSVAE(hp)
+            tx, step, eval_step = make_train_functions(model, hp)
+            p = model.init(jax.random.PRNGKey(0))
+            o = tx.init(p)
+            lk1 = model.loss_kwargs(0)
+            ls = []
+            for b in batches:
+                p, o, m = step(p, o, rngs[ti], dict(b), lk1, 0, seg)
+                ls.append(float(m['loss']))
+            ev1 = float(eval_step(p, rngs[ti], dict(batches[0]), lk1, 0, seg)['loss'])
+            assert np.allclose(np.array(ls), lv[:, ti], rtol=1e-4), (ti, ls, lv[:, ti])
+            assert np.isclose(ev1, ev[ti], rtol=1e-4)
+            # param tolerance is looser than the AE test's: Adam divides by
+            # sqrt(v), so for near-dead weights a 1e-7 reassociation delta in
+            # the gradient can move the update by ~lr-scale (same mechanism
+            # as the documented tp dead-param caveat, test_parallel/test_tp.py)
+            slice_k = jax.tree_util.tree_map(lambda x: np.asarray(x)[ti], params_k)
+            for (ka, a), (_, b_) in zip(
+                    sorted(jax.tree_util.tree_leaves_with_path(p),
+                           key=lambda x: str(x[0])),
+                    sorted(jax.tree_util.tree_leaves_with_path(slice_k),
+                           key=lambda x: str(x[0]))):
+                assert np.allclose(np.asarray(a), b_, atol=1e-4), (ti, ka)
+
+    def test_seg_lens_bucket_recompile_consistency(self):
+        """Different seg_lens tuples select different compiled programs."""
+        from behavenet_tpu.models import MSPSVAE
+
+        base = self._base()
+        trials = [{}, {'ps_vae.alpha': 10.0}]
+        params_k, models = init_trials(lambda hp: MSPSVAE(hp), base, trials)
+        init_opt, vstep, _ = make_vmap_grid_functions(models[0], base, trials)
+        opt_k = init_opt(params_k)
+        lk = stack_loss_kwargs(models, trials, 0)
+        rngs = jax.random.split(jax.random.PRNGKey(0), 2)
+        for seg in ((8, 8), (8, 16)):
+            b = self._batches(1, seg)[0]
+            params_k, opt_k, m = vstep(params_k, opt_k, rngs, b, lk, seg_lens=seg)
+            assert np.all(np.isfinite(np.asarray(m['loss'])))
