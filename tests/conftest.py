@@ -23,3 +23,32 @@ def pytest_sessionstart(session):
     assert jax.default_backend() == 'cpu', (
         'tests must run on the virtual CPU mesh, got %s' % jax.default_backend())
     assert len(jax.devices()) == 8
+
+
+# Curated quick tier: `pytest -m fast` runs these modules only (<10 min on
+# one CPU core; the CI quick gate, .github/workflows/ci.yml). Everything
+# outside the list — mesh/shard_map suites, EM oracles, movie wrappers —
+# stays in the full (nightly) tier.
+FAST_PATHS = [
+    'test_data/test_transforms.py',
+    'test_data/test_generator.py',
+    'test_data/test_utils.py',
+    'test_models/test_arch.py',
+    'test_models/test_decoders.py',
+    'test_ops/test_losses.py',
+    'test_ops/test_optim.py',
+    'test_ops/test_smallmat.py',
+    'test_utils/test_flops.py',
+    'test_utils/test_torch_import.py',
+    'test_fitting/test_hyperparams.py',
+    'test_fitting/test_experiment.py',
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    root = os.path.dirname(os.path.abspath(__file__))
+    fast = {os.path.normpath(os.path.join(root, p)) for p in FAST_PATHS}
+    for item in items:
+        if os.path.normpath(str(item.fspath)) in fast:
+            item.add_marker(pytest.mark.fast)
