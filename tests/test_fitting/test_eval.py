@@ -67,3 +67,231 @@ class TestConvDecoderPredictionExport:
             assert p.shape == (15, 1, 16, 12)
             assert p.dtype == np.float32
             assert np.isfinite(p).all()  # (linear decoder: no sigmoid range)
+
+
+# ---------------------------------------------------------------------------
+# direct unit tests for fitting/eval.py (VERDICT r3 item 6)
+
+import jax.numpy as jnp
+import pandas as pd
+
+from behavenet_tpu.fitting import eval as eval_mod
+from behavenet_tpu.fitting.eval import (export_train_plots, get_reconstruction,
+                                        get_test_metric)
+from behavenet_tpu.models import (AE, AEMSP, VAE, BetaTCVAE, ConditionalAE,
+                                  ConditionalVAE, MSPSVAE, PSVAE)
+from behavenet_tpu.models import arch as arch_mod
+
+
+def _hp(model_class='ae', n_latents=6, n_labels=2, img=(1, 16, 12), **kw):
+    a = arch_mod.load_handcrafted_arch(list(img), n_latents, None, check_memory=False)
+    hp = dict(a, model_class=model_class, model_type='conv',
+              n_ae_latents=n_latents, n_input_channels=img[0],
+              y_pixels=img[1], x_pixels=img[2], rng_seed_model=0, max_n_epochs=10)
+    if model_class in ('cond-ae', 'cond-vae', 'cond-ae-msp', 'ps-vae', 'msps-vae'):
+        hp['n_labels'] = n_labels
+    hp.update(kw)
+    return hp
+
+
+_CASES = [
+    ('ae', AE, {}),
+    ('vae', VAE, {'vae.beta': 1.0}),
+    ('beta-tcvae', BetaTCVAE, {'beta_tcvae.beta': 1.0}),
+    ('cond-ae', ConditionalAE, {}),
+    ('cond-vae', ConditionalVAE, {'vae.beta': 1.0}),
+    ('cond-ae-msp', AEMSP, {'msp.alpha': 1.0}),
+    ('ps-vae', PSVAE, {'ps_vae.alpha': 1.0, 'ps_vae.beta': 1.0}),
+    ('msps-vae', MSPSVAE, {'ps_vae.alpha': 1.0, 'ps_vae.beta': 1.0,
+                           'ps_vae.delta': 1.0, 'n_sessions_per_batch': 2,
+                           'n_background': 2}),
+]
+
+
+class TestGetReconstruction:
+    """Per-class dispatch of get_reconstruction (reference eval.py:286-375)."""
+
+    @pytest.mark.parametrize('mc,cls,extra', _CASES, ids=[c[0] for c in _CASES])
+    def test_images_input_per_class(self, mc, cls, extra):
+        model = cls(_hp(mc, **extra))
+        params = model.init(jax.random.PRNGKey(0))
+        x = np.random.RandomState(0).rand(4, 16, 12, 1).astype(np.float32)
+        kw = {}
+        if mc in ('cond-ae', 'cond-vae'):
+            kw['labels'] = np.random.RandomState(1).randn(4, 2).astype(np.float32)
+        ims, latents = get_reconstruction(model, params, x, return_latents=True, **kw)
+        assert ims.shape == (4, 16, 12, 1)
+        assert latents.shape == (4, 6)
+        assert np.all((ims >= 0) & (ims <= 1))  # sigmoid output layer
+
+    def test_uint8_images_accepted(self):
+        model = AE(_hp())
+        params = model.init(jax.random.PRNGKey(0))
+        x8 = np.random.RandomState(0).randint(0, 255, (3, 16, 12, 1)).astype(np.uint8)
+        ims_u8 = get_reconstruction(model, params, x8)
+        ims_f = get_reconstruction(model, params, (x8 / 255.0).astype(np.float32))
+        np.testing.assert_allclose(ims_u8, ims_f, atol=1e-6)
+
+    @pytest.mark.parametrize('mc,cls,extra', _CASES[:3], ids=[c[0] for c in _CASES[:3]])
+    def test_latents_input_round_trip(self, mc, cls, extra):
+        """Decoding the encoded latents reproduces the image-input recon."""
+        model = cls(_hp(mc, **extra))
+        params = model.init(jax.random.PRNGKey(0))
+        x = np.random.RandomState(0).rand(4, 16, 12, 1).astype(np.float32)
+        ims1, lat = get_reconstruction(model, params, x, return_latents=True)
+        ims2 = get_reconstruction(model, params, lat)
+        np.testing.assert_allclose(ims1, ims2, atol=1e-5)
+
+    @pytest.mark.parametrize('mc,cls,extra', [_CASES[6], _CASES[7], _CASES[5]],
+                             ids=['ps-vae', 'msps-vae', 'cond-ae-msp'])
+    def test_inverse_transform_round_trip(self, mc, cls, extra):
+        """Label-space latents invert through get_inverse_transformed_latents
+        (reference eval.py:286-374 apply_inverse_transform)."""
+        model = cls(_hp(mc, **extra))
+        params = model.init(jax.random.PRNGKey(0))
+        if mc == 'cond-ae-msp':
+            # U is completed to full-rank orthogonal at save time
+            params = model.create_orthogonal_matrix(params)
+        x = np.random.RandomState(0).rand(4, 16, 12, 1).astype(np.float32)
+        ims1, lat = get_reconstruction(model, params, x, return_latents=True)
+        t = np.asarray(model.get_transformed_latents(params, lat))
+        # the transform must actually move the latents (guards against a
+        # trivially-passing zero transform, e.g. an uncompleted U)
+        assert np.abs(t - lat).max() > 1e-4
+        ims2 = get_reconstruction(model, params, t, apply_inverse_transform=True)
+        np.testing.assert_allclose(ims1, ims2, atol=1e-4)
+
+    def test_cond_ae_latents_concatenate_labels(self):
+        model = ConditionalAE(_hp('cond-ae'))
+        params = model.init(jax.random.PRNGKey(0))
+        x = np.random.RandomState(0).rand(4, 16, 12, 1).astype(np.float32)
+        labels = np.random.RandomState(1).randn(4, 2).astype(np.float32)
+        ims1, lat = get_reconstruction(model, params, x, return_latents=True,
+                                       labels=labels)
+        ims2 = get_reconstruction(model, params, lat[:, :6], labels=labels)
+        np.testing.assert_allclose(ims1, ims2, atol=1e-5)
+
+    def test_invalid_model_class_raises(self):
+        model = AE(_hp())
+        model.hparams['model_class'] = 'nonsense'
+        params = model.init(jax.random.PRNGKey(0))
+        x = np.random.RandomState(0).rand(2, 16, 12, 1).astype(np.float32)
+        with pytest.raises(ValueError, match='Invalid model class'):
+            get_reconstruction(model, params, x)
+
+
+class _StubGenerator:
+    """Minimal data-generator stand-in for get_test_metric."""
+
+    def __init__(self, batches, dtype='test'):
+        self._batches = batches
+        self._i = 0
+
+        class _DS:
+            batch_idxs = {dtype: list(range(len(batches)))}
+        self.datasets = [_DS()]
+
+    def reset_iterators(self, dtype):
+        self._i = 0
+
+    def next_batch(self, dtype):
+        b = self._batches[self._i]
+        self._i += 1
+        return b, 0
+
+
+class TestGetTestMetric:
+    """Metric assembly incl. lag trimming (reference eval.py:377-450).
+
+    The store-loading path (get_best_model_and_data) is covered by the
+    experiment-matrix and plotting-wrapper suites; here it is stubbed so
+    the r2 / mse / fc arithmetic itself is pinned.
+    """
+
+    def _run(self, monkeypatch, metric, batches, model, params):
+        def fake_gbmad(hparams, Model=None, load_data=True, version=None):
+            return model, params, _StubGenerator(batches)
+        import behavenet_tpu.fitting.experiment as expt_mod
+        monkeypatch.setattr(expt_mod, 'get_best_model_and_data', fake_gbmad)
+        hp = {'n_max_lags': 2}
+        return get_test_metric(hp, 0, metric=metric)
+
+    def _decoder(self, noise='gaussian', n_out=3):
+        from behavenet_tpu.models import Decoder
+        hp = {'model_class': 'neural-ae', 'model_type': 'mlp',
+              'input_size': 5, 'output_size': n_out, 'n_hid_layers': 1,
+              'n_hid_units': 8, 'n_lags': 1, 'n_max_lags': 2,
+              'noise_dist': noise, 'activation': 'relu'}
+        model = Decoder(hp)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def test_r2_matches_sklearn(self, monkeypatch):
+        from sklearn.metrics import r2_score
+        model, params = self._decoder()
+        rs = np.random.RandomState(0)
+        batches = [{'neural': rs.randn(20, 5).astype(np.float32),
+                    'ae_latents': rs.randn(20, 3).astype(np.float32)}
+                   for _ in range(2)]
+        hp_out, r2, true, pred = self._run(monkeypatch, 'r2', batches, model, params)
+        assert hp_out['n_max_lags'] == 2
+        # lag trimming: 2 rows off each edge per batch
+        assert all(t.shape[0] == 16 for t in true)
+        direct = r2_score(np.concatenate(true), np.concatenate(pred),
+                          multioutput='variance_weighted')
+        assert np.isclose(r2, direct)
+
+    def test_mse(self, monkeypatch):
+        model, params = self._decoder()
+        rs = np.random.RandomState(1)
+        batches = [{'neural': rs.randn(15, 5).astype(np.float32),
+                    'labels': rs.randn(15, 3).astype(np.float32)}]
+        _, mse, true, pred = self._run(monkeypatch, 'mse', batches, model, params)
+        direct = np.mean((np.concatenate(true) - np.concatenate(pred)) ** 2)
+        assert np.isclose(mse, direct)
+
+    def test_fc_accuracy(self, monkeypatch):
+        model, params = self._decoder(noise='categorical', n_out=4)
+        rs = np.random.RandomState(2)
+        batches = [{'neural': rs.randn(18, 5).astype(np.float32),
+                    'arhmm_states': rs.randint(0, 4, 18)}]
+        _, fc, true, pred = self._run(monkeypatch, 'fc', batches, model, params)
+        direct = np.mean(np.concatenate(true)
+                         == np.argmax(np.concatenate(pred), axis=1))
+        assert np.isclose(fc, direct)
+
+    def test_invalid_metric_raises(self, monkeypatch):
+        model, params = self._decoder()
+        batches = [{'neural': np.zeros((10, 5), np.float32),
+                    'labels': np.zeros((10, 3), np.float32)}]
+        with pytest.raises(ValueError, match='invalid metric'):
+            self._run(monkeypatch, 'nonsense', batches, model, params)
+
+
+class TestExportTrainPlots:
+    """metrics.csv -> loss-vs-epoch figure (reference eval.py:453-532)."""
+
+    def _store(self, tmpdir):
+        vdir = os.path.join(str(tmpdir), 'version_3')
+        os.makedirs(vdir)
+        rows = []
+        for epoch in range(6):
+            rows.append({'dataset': -1, 'epoch': epoch, 'trial': -1,
+                         'tr_loss': 1.0 / (epoch + 1), 'val_loss': np.nan})
+            rows.append({'dataset': -1, 'epoch': epoch, 'trial': -1,
+                         'tr_loss': np.nan, 'val_loss': 1.2 / (epoch + 1)})
+        pd.DataFrame(rows).to_csv(os.path.join(vdir, 'metrics.csv'), index=False)
+        with open(os.path.join(vdir, 'session_info.csv'), 'w') as f:
+            f.write('lab,expt,animal,session\nl,e,a,s\n')
+        return {'expt_dir': str(tmpdir), 'version': 3}
+
+    @pytest.mark.parametrize('dtype', ['train', 'val'])
+    def test_writes_figure(self, tmpdir, dtype):
+        hp = self._store(tmpdir)
+        out = os.path.join(str(tmpdir), 'loss_%s' % dtype)
+        export_train_plots(hp, dtype, save_file=out)
+        assert os.path.isfile(out + '.png')
+
+    def test_invalid_loss_type_raises(self, tmpdir):
+        hp = self._store(tmpdir)
+        with pytest.raises(ValueError, match='invalid loss type'):
+            export_train_plots(hp, 'train', loss_type='nonsense')
