@@ -204,7 +204,18 @@ def make_train_functions(model, hparams):
         # torch Adam weight_decay semantics: l2 added to gradients *before*
         # the moment updates (reference training.py:284-286)
         chain.append(optax.add_decayed_weights(wd, mask=mask_fn))
-    chain.append(optim.amsgrad(lr))
+    # 'amsgrad' (torch-exact, the reference's optimizer) is the default;
+    # 'sgd' is a diagnostics hook: plain SGD has no moment normalizer, so
+    # dead-parameter gradient noise (pre-BN conv biases) stays at noise
+    # scale instead of being amplified to lr scale — used by the strict
+    # tp param-equivalence tests on BatchNorm archs
+    opt_name = hparams.get('optimizer', 'amsgrad')
+    if opt_name == 'amsgrad':
+        chain.append(optim.amsgrad(lr))
+    elif opt_name == 'sgd':
+        chain.append(optax.sgd(lr))
+    else:
+        raise ValueError('"%s" is not a valid optimizer' % opt_name)
     tx = optax.chain(*chain)
 
     def train_step(params, opt_state, rng, batch, loss_kwargs, dataset, seg_lens):

@@ -52,6 +52,17 @@ MODELS_TO_FIT = [
      'overrides': {'tp_devices': 2, 'experiment_name': 'ae-tp-expt'},
      'env': {'XLA_FLAGS': '--xla_force_host_platform_device_count=4'}},
     {'model_class': 'arhmm', 'model_file': 'arhmm', 'sessions': SESSIONS[0]},
+    # sticky transitions (kappa-boosted self-transitions) and the recurrent
+    # GLM transition M-step, through the real CLI (engine unit tests:
+    # test_models/test_arhmm.py); arhmm-labels fits the HMM directly on
+    # pose labels with no AE dependency (data/utils.py arhmm-labels branch)
+    {'model_class': 'arhmm', 'model_file': 'arhmm', 'sessions': SESSIONS[0],
+     'overrides': {'transitions': 'sticky', 'kappa': 10.0,
+                   'experiment_name': 'arhmm-sticky-expt'}},
+    {'model_class': 'arhmm', 'model_file': 'arhmm', 'sessions': SESSIONS[0],
+     'overrides': {'transitions': 'recurrent',
+                   'experiment_name': 'arhmm-recurrent-expt'}},
+    {'model_class': 'arhmm-labels', 'model_file': 'arhmm', 'sessions': SESSIONS[0]},
     {'model_class': 'neural-ae', 'model_file': 'decoder', 'sessions': SESSIONS[0]},
     # mv = gaussian-full noise (learned per-frame full precision); exercises
     # the batched precision head under the default shape bucketing
@@ -123,12 +134,14 @@ def make_tmp_data(data_dir):
 
 def get_model_config_files(model, json_dir):
     if model in ('ae', 'vae', 'cond-vae', 'beta-tcvae', 'cond-ae-msp', 'ps-vae',
-                 'msps-vae', 'labels-images', 'arhmm'):
-        m = 'arhmm' if model == 'arhmm' else 'ae'
+                 'msps-vae', 'labels-images', 'arhmm', 'arhmm-labels'):
+        m = 'arhmm' if model in ('arhmm', 'arhmm-labels') else 'ae'
         model_json_dir = os.path.join(json_dir, '%s_jsons' % m)
+        model_json = 'arhmm_labels_model.json' if model == 'arhmm-labels' \
+            else '%s_model.json' % m
         return {
             'data': os.path.join(json_dir, 'data_default.json'),
-            'model': os.path.join(model_json_dir, '%s_model.json' % m),
+            'model': os.path.join(model_json_dir, model_json),
             'training': os.path.join(model_json_dir, '%s_training.json' % m),
             'compute': os.path.join(model_json_dir, '%s_compute.json' % m)}
     elif model in ('neural-ae', 'neural-ae-me', 'neural-arhmm', 'neural-labels'):
@@ -192,6 +205,16 @@ def define_new_config_values(model, session='sess-0', device='cpu'):
                       'model_type': ae_model_type, 'n_ae_latents': n_ae_latents,
                       'l2_reg': l2_reg, 'conditional_encoder': False},
             'training': training_dict, 'compute': compute_dict}
+    if model == 'arhmm-labels':
+        return {
+            'data': data_dict,
+            'model': {'experiment_name': 'arhmm-labels-expt',
+                      'n_arhmm_states': n_arhmm_states,
+                      'n_arhmm_lags': n_arhmm_lags, 'transitions': 'stationary',
+                      'noise_type': 'gaussian'},
+            'training': {'export_train_plots': False, 'export_states': True, 'n_iters': 2,
+                         'train_frac': train_frac, 'trial_splits': trial_splits},
+            'compute': compute_dict}
     if model == 'arhmm':
         return {
             'data': data_dict,

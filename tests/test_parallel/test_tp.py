@@ -103,6 +103,29 @@ class TestTPEquivalence:
         rm = params_t['encoder']['bn_0']['running_mean']
         assert np.isfinite(np.asarray(rm)).all()
 
+    def test_params_match_with_batchnorm_sgd(self):
+        # strict param equivalence ON a BatchNorm arch: under SGD the
+        # dead-param (pre-BN conv bias) gradient noise is not amplified by a
+        # moment normalizer, so every parameter — including running stats —
+        # must match the single-device run to reduction-order tolerance.
+        # (Closes the r3 gap where BN archs had loss-trajectory-only tp
+        # coverage; the Adam caveat above is about the optimizer, not the
+        # sharding.)
+        model, hp = _make_model(batch_norm=1)
+        hp = dict(hp, optimizer='sgd')
+        losses_s, params_s = _run_steps(model, make_train_functions(model, hp),
+                                        n_steps=4)
+        mesh = make_mesh_2d(2, 4)
+        losses_t, params_t = _run_steps(
+            model, make_tp_train_functions(model, hp, mesh), n_steps=4)
+        assert np.allclose(losses_s, losses_t, rtol=1e-5), (losses_s, losses_t)
+        for (ka, a), (_, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(params_s),
+                       key=lambda t: str(t[0])),
+                sorted(jax.tree_util.tree_leaves_with_path(params_t),
+                       key=lambda t: str(t[0]))):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), ka
+
     def test_tp_only_mesh(self):
         # pure model parallelism: full batch everywhere, channels split
         model, hp = _make_model(batch_norm=0)
