@@ -486,6 +486,15 @@ class MSPSVAE(PSVAE):
             'alpha': jnp.float32(alpha), 'beta': beta, 'delta': jnp.float32(delta),
             'label_r2': r2}, stats)
 
+    def get_predicted_labels(self, params, x, dataset=0, use_mean=True, rng=None):
+        # PSVAE's version unpacks a 4-tuple; the msps encoder returns
+        # (z_s, z_b, z_u, logvar, pool_idx) — found via the msps-vae
+        # analysis notebook's label-reconstruction cell
+        z_s, _, _, logvar, _ = self.encode(params, x, dataset=dataset)
+        if not use_mean:
+            z_s = reparameterize(rng, z_s, logvar[:, :self.n_labels])
+        return base.diag_linear(params['encoder']['D'], z_s)
+
     def get_transformed_latents(self, params, inputs, dataset=0):
         inputs = jnp.asarray(inputs)
         n_l, n_b = self.n_labels, self.n_background

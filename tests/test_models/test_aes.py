@@ -355,6 +355,30 @@ class TestMSPSVAE:
         with pytest.raises(ValueError):
             MSPSVAE(hp)
 
+    def test_get_predicted_labels(self):
+        # regression: PSVAE's version unpacked a 4-tuple and crashed on the
+        # msps encoder's 5-tuple (plot_label_reconstructions path)
+        hp = make_hparams(
+            'msps-vae', n_latents=10,
+            **{'ps_vae.alpha': 1.0, 'ps_vae.beta': 1.0, 'ps_vae.delta': 1.0,
+               'n_background': 3, 'n_sessions_per_batch': 2})
+        model = MSPSVAE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.array(np.random.RandomState(0).rand(5, 32, 24, 1), dtype=jnp.float32)
+        y_hat = model.get_predicted_labels(params, x)
+        assert y_hat.shape == (5, 4)
+        # mean path equals D applied to the supervised head
+        z_s, _, _, _, _ = model.encode(params, x)
+        from behavenet_tpu.models import base
+        np.testing.assert_allclose(
+            np.asarray(y_hat),
+            np.asarray(base.diag_linear(params['encoder']['D'], z_s)), atol=1e-6)
+        # sampling path runs and differs from the mean path
+        y_s = model.get_predicted_labels(params, x, use_mean=False,
+                                         rng=jax.random.PRNGKey(1))
+        assert y_s.shape == (5, 4)
+        assert not np.allclose(np.asarray(y_s), np.asarray(y_hat))
+
 
 class TestBatchNorm:
 
