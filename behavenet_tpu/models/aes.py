@@ -252,9 +252,14 @@ class ConvDecoder:
             # are used; block=4*s measured best (1.6x fwd+bwd on the default
             # arch's last layer at batch 1024; larger blocks lose to kernel
             # growth + dilated grad-x). Identical math (ops.conv_transpose2d
-            # docstring).
+            # docstring). `subpixel_block_mult` overrides the 4*s factor
+            # (block = mult*s; correctness tested for 1/2/4 in
+            # tests/test_ops/test_conv.py) — in-context step measurements
+            # on v5e favor 4 at batch 1024 for 1- and 2-view; smaller
+            # batches are latency-bound and noise-dominated (r4 notes).
             subpixel = hparams.get('subpixel_decoder', True)
-            block = 4 * s if (subpixel and s > 1 and c_out <= 4) else None
+            block_mult = int(hparams.get('subpixel_block_mult', 4))
+            block = block_mult * s if (subpixel and s > 1 and c_out <= 4) else None
             self.layers.append({
                 'type': 'convtranspose',
                 'name': 'convt_%d' % i,

@@ -386,6 +386,8 @@ def main(device='cpu', only=None):
             model_key += '/tp'
         if model.get('overrides', {}).get('vmap_trials'):
             model_key += '/vmap-grid'
+        if model.get('overrides', {}).get('transitions'):
+            model_key += '/' + model['overrides']['transitions']
         passed = ok and check_model(config_dicts, data_dir, save_dir)
         results[model_key] = passed
 
