@@ -447,7 +447,10 @@ def main():
             # bounds `frames_per_sec` here; `projected_frames_per_sec`
             # carries the min-combination bound alongside the raw number.
             host_fps = host_gbps * 1e9 / (128 * 128)  # 1-view uint8 frames
-            step_fps = results.get((1, 189), 0.0) or fps
+            # keep the min() in one frame unit: the streamed session is
+            # 1-view, so only a 1-view step rate is comparable (a 2-view
+            # frame carries 2x the bytes/FLOPs)
+            step_fps = results.get((1, 189)) or results.get((1, 1024)) or 0.0
             streamed = {
                 'frames_per_sec': round(s_fps, 1),
                 'host_staging_gb_per_sec': round(host_gbps, 3),
@@ -499,11 +502,21 @@ def main():
     else:
         print('skipping parity check (%.0fs elapsed)' % elapsed(), file=sys.stderr)
 
+    # vs_baseline is against BASELINE.md's criterion, which is defined for
+    # 128x128 *grayscale* (1-view) frames: use the best 1-view point, or if
+    # only 2-view configs ran, FLOP-normalize the 2-view rate into
+    # grayscale-frame equivalents so the ratio stays comparable across rounds.
+    fps_baseline = max(results.get((1, 189), 0.0), results.get((1, 1024), 0.0))
+    if not fps_baseline:
+        best_2view = max(results.get((2, 189), 0.0), results.get((2, 1024), 0.0))
+        fps_baseline = best_2view * tf_per_frame[2] / tf_per_frame[1]
+
     print(json.dumps({
         'metric': 'AE train frames/sec/chip (%s)' % head_label,
         'value': round(fps, 1),
         'unit': 'frames/sec',
-        'vs_baseline': round(fps / TARGET_FPS, 3),
+        'vs_baseline': round(fps_baseline / TARGET_FPS, 3),
+        'vs_baseline_fps_1view': round(fps_baseline, 1),
         'fps_2view_189': round(results.get((2, 189), 0.0), 1),
         'fps_1view_189': round(results.get((1, 189), 0.0), 1),
         'fps_1view_1024': round(results.get((1, 1024), 0.0), 1),
@@ -514,7 +527,11 @@ def main():
         'streamed': streamed,
         'host_staging_2view': staging_2view,
         'arhmm_em_iters_per_sec': em_ips,
-        'parity_converged_rel_gap_pct': parity,
+        # scalar key kept for round-over-round compatibility (= worst gap);
+        # per-model breakdown under its own key
+        'parity_converged_rel_gap_pct':
+            parity.get('worst') if parity else None,
+        'parity_gaps_pct': parity,
         'error': error,
     }))
 

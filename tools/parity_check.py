@@ -230,7 +230,11 @@ def main(models=None):
 if __name__ == '__main__':
     which = None
     if '--model' in sys.argv:
-        which = [sys.argv[sys.argv.index('--model') + 1]]
+        idx = sys.argv.index('--model') + 1
+        if idx >= len(sys.argv) or sys.argv[idx] not in PARITIES:
+            sys.exit('usage: parity_check.py [--model {%s}] [--json]'
+                     % '|'.join(PARITIES))
+        which = [sys.argv[idx]]
     gaps = main(which)
     if '--json' in sys.argv:
         # machine-readable line for bench.py (last line of stdout)
