@@ -28,6 +28,17 @@ from jax import lax
 
 _DIMSPEC = ('NHWC', 'HWIO', 'NHWC')
 
+# The s2d grad-w regrouping pays a relayout pass + 1.44x MACs (k=5, s=2) for
+# s^2-fold sublane occupancy in the batch contraction; batch rides the lane
+# dim of both operands, so an awkward batch (189 -> 256-lane tiles, 26% pad
+# waste) can erase the win when ci > 1. Measured on v5e (tools/bench_gradw.py,
+# enc1 128^2 k5 s2 grad-w, ms): ci=1 s2d wins at every batch (0.117 vs 0.220
+# at B=189; 0.441 vs 0.898 at B=1024); ci=2 s2d LOSES at B=189 (0.177 vs
+# 0.140) and wins at B=256/378/512/1024 (0.132/0.158/0.253/0.746 vs
+# 0.274/0.376/0.477/0.903) — so multi-channel inputs gate on batch size.
+# Tests monkeypatch this to 0 to force the custom-VJP path.
+_S2DGW_MIN_BATCH = 256
+
 
 def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None, out_dtype=None):
     """Conv with explicit asymmetric padding.
@@ -44,9 +55,12 @@ def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None, out_dtype=None):
         end, halving inter-layer HBM traffic on bandwidth-bound layers.
 
     Tiny-Cin strided layers (``Cin*s^2 <= 16``, e.g. the 1-channel first
-    image conv) route through a custom VJP whose grad-w uses the
-    space-to-depth phase regrouping (see ``_gradw_s2d``) — measured 1.9-2x
-    on that layer's grad-w at batches 189/1024 on v5e. Known limitation:
+    image conv; multi-channel inputs additionally need
+    ``N >= _S2DGW_MIN_BATCH``) route through a custom VJP whose grad-w uses
+    the space-to-depth phase regrouping (see ``_gradw_s2d``) — measured
+    1.9-2x on the 1-channel layer's grad-w at batches 189/1024 on v5e, but a
+    1.26x *loss* for the 2-view (Cin=2) workload at the 189-frame trial
+    batch, hence the batch gate. Known limitation:
     ``jax.custom_vjp`` (here and in ``_tconv``) supports reverse-mode only,
     so ``jax.jvp``/``jacfwd`` through such a layer raises — training and
     every in-repo caller are reverse-mode; use ``jax.grad``/``vjp``.
@@ -58,8 +72,8 @@ def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None, out_dtype=None):
     k = w.shape[0]
     oh = (h + pad_y[0] + pad_y[1] - k) // s + 1
     ow = (ww + pad_x[0] + pad_x[1] - k) // s + 1
-    if s > 1 and ci * s * s <= 16 and h == oh * s and ww == ow * s \
-            and w.shape[1] == k:
+    if s > 1 and ci * s * s <= 16 and (ci == 1 or n >= _S2DGW_MIN_BATCH) \
+            and h == oh * s and ww == ow * s and w.shape[1] == k:
         out = _conv_s2dgw(x, w, s, tuple(pad_y), tuple(pad_x),
                           compute_dtype, out_dtype)
     else:

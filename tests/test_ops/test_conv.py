@@ -169,12 +169,15 @@ class TestGradWS2d:
         (12, 12, 1, 3, 3, 2, (0, 1), (0, 1)),
         (16, 16, 1, 4, 5, 4, (1, 2), (1, 2)),
     ])
-    def test_grads_match_autodiff(self, cfg):
+    def test_grads_match_autodiff(self, cfg, monkeypatch):
         H, W, ci, co, k, s, py, px = cfg
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randn(3, H, W, ci).astype('f'))
         w = jnp.asarray(rng.randn(k, k, ci, co).astype('f'))
         # the guard must actually route this shape through the custom VJP
+        # (multi-channel inputs gate on batch size — force the path here)
+        from behavenet_tpu.ops import conv as conv_mod
+        monkeypatch.setattr(conv_mod, '_S2DGW_MIN_BATCH', 0)
         assert ci * s * s <= 16
 
         def ref(x_, w_):

@@ -9,7 +9,7 @@ FLOPs at 4x the sublane utilization). This script measures both, plus the
 f32-accumulating variants, to decide whether a custom conv2d VJP is worth
 wiring.
 
-Usage: python tools/bench_gradw.py [batch]
+Usage: python tools/bench_gradw.py [batch] [case-substring]
 """
 
 import os
@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if __name__ == '__main__':
     BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 189
+    ONLY = sys.argv[2] if len(sys.argv) > 2 else ''
     sys.argv = [sys.argv[0], str(BATCH)]
     import tools.profile_ae as prof
 
@@ -33,6 +34,7 @@ if __name__ == '__main__':
     # (name, H, W, Cin, Cout): stride-2 k5 'same' conv, grad-w given cotangent
     cases = [
         ('enc1 1->32 128^2', 128, 128, 1, 32),
+        ('enc1 2->32 128^2', 128, 128, 2, 32),  # 2-view Musall first conv
         ('enc2 32->64 64^2', 64, 64, 32, 64),
         ('enc3 64->128 32^2', 32, 32, 64, 128),
     ]
@@ -45,6 +47,8 @@ if __name__ == '__main__':
 
     print('batch=%d' % BATCH)
     for name, h, w_, ci, co in cases:
+        if ONLY and ONLY not in name:
+            continue
         oh = ow = h // s
         x = jnp.asarray(rng.randn(BATCH, h, w_, ci).astype(np.float32), dt)
         ct = jnp.asarray(rng.randn(BATCH, oh, ow, co).astype(np.float32), dt)
