@@ -258,7 +258,7 @@ class ConvDecoder:
             # on v5e favor 4 at batch 1024 for 1- and 2-view; smaller
             # batches are latency-bound and noise-dominated (r4 notes).
             subpixel = hparams.get('subpixel_decoder', True)
-            block_mult = int(hparams.get('subpixel_block_mult', 4))
+            block_mult = int(hparams.get('subpixel_block_mult') or 4)
             block = block_mult * s if (subpixel and s > 1 and c_out <= 4) else None
             self.layers.append({
                 'type': 'convtranspose',

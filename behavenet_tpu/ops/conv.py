@@ -72,7 +72,12 @@ def conv2d(x, w, b, stride, pad_y, pad_x, compute_dtype=None, out_dtype=None):
     k = w.shape[0]
     oh = (h + pad_y[0] + pad_y[1] - k) // s + 1
     ow = (ww + pad_x[0] + pad_x[1] - k) // s + 1
-    if s > 1 and ci * s * s <= 16 and (ci == 1 or n >= _S2DGW_MIN_BATCH) \
+    # NB: `n` may be a symbolic dimension under jax.export shape polymorphism
+    # (serving.py exports batch-polymorphic heads); comparing a symbolic dim
+    # to an int raises InconclusiveDimensionOperation, so the batch gate only
+    # fires on concrete batch sizes and symbolic batches take the XLA path.
+    if s > 1 and ci * s * s <= 16 \
+            and (ci == 1 or (isinstance(n, int) and n >= _S2DGW_MIN_BATCH)) \
             and h == oh * s and ww == ow * s and w.shape[1] == k:
         out = _conv_s2dgw(x, w, s, tuple(pad_y), tuple(pad_x),
                           compute_dtype, out_dtype)

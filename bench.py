@@ -383,7 +383,8 @@ def main():
         return time.time() - t_start
 
     from behavenet_tpu.models.arch import load_handcrafted_arch
-    from behavenet_tpu.utils.flops import V5E_BF16_PEAK, ae_train_flops_per_frame
+    from behavenet_tpu.utils.flops import (
+        V5E_BF16_PEAK, ae_train_flops_per_frame, mfu)
 
     peak = float(os.environ.get('BENCH_PEAK_TFLOPS', V5E_BF16_PEAK / 1e12)) * 1e12
     tf_per_frame = {
@@ -417,7 +418,7 @@ def main():
             return None
         return {'frames_per_sec': round(fps, 1),
                 'train_gflops_per_frame': round(tf_per_frame[views] / 1e9, 3),
-                'mfu': round(fps * tf_per_frame[views] / peak, 4)}
+                'mfu': round(mfu(fps, tf_per_frame[views], peak), 4)}
 
     error = None
     if results:

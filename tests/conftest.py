@@ -32,7 +32,7 @@ def pytest_sessionstart(session):
 FAST_PATHS = [
     'test_data/test_transforms.py',
     'test_data/test_generator.py',
-    'test_data/test_utils.py',
+    'test_data/test_utils_data.py',
     'test_models/test_arch.py',
     'test_models/test_decoders.py',
     'test_ops/test_losses.py',
@@ -48,6 +48,9 @@ FAST_PATHS = [
 def pytest_collection_modifyitems(config, items):
     import pytest
     root = os.path.dirname(os.path.abspath(__file__))
+    missing = [p for p in FAST_PATHS
+               if not os.path.exists(os.path.join(root, p))]
+    assert not missing, 'FAST_PATHS entries do not exist: %s' % missing
     fast = {os.path.normpath(os.path.join(root, p)) for p in FAST_PATHS}
     for item in items:
         if os.path.normpath(str(item.fspath)) in fast:

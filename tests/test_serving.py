@@ -55,6 +55,27 @@ class TestAEFamily:
         for n in (1, 3, 5):
             assert np.asarray(b.encode(images[:n])).shape == (n, 6)
 
+    def test_two_view_export_not_skipped(self, tmp_path):
+        # Regression: conv2d's s2d grad-w batch gate compared the (symbolic)
+        # batch dim to an int at trace time; under jax.export shape
+        # polymorphism that raised InconclusiveDimensionOperation for every
+        # multi-channel first conv (Cin*s^2 <= 16), and export_model silently
+        # skipped every conv head of 2-view (Musall) models.
+        imgs = np.random.RandomState(1).randint(
+            0, 255, (5, 32, 24, 2)).astype('uint8')
+        model = AE(_ae_hparams(img=(2, 32, 24)))
+        params = model.init(jax.random.PRNGKey(0))
+        man = serving.export_model(model, params, str(tmp_path))
+        assert man['skipped'] == {}
+        assert sorted(man['artifacts']) == ['encode', 'reconstruct']
+        b = serving.load_bundle(str(tmp_path))
+        ref_recon, ref_z = model.forward(
+            params, jnp.asarray(imgs, jnp.float32) / 255.0)
+        np.testing.assert_allclose(np.asarray(b.encode(imgs)),
+                                   np.asarray(ref_z), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.reconstruct(imgs)),
+                                   np.asarray(ref_recon), atol=1e-5)
+
     def test_vae_encodes_posterior_mean(self, tmp_path, images):
         hp = _ae_hparams(model_class='vae', **{'vae.beta': 1.0})
         model = VAE(hp)
