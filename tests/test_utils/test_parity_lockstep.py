@@ -20,6 +20,12 @@ class TestLockstepParity:
         gap = parity_check.parity_psvae(n_steps=12, batch=16, report_every=1000)
         assert gap < 1e-4, 'psvae lockstep gap %.6f%%' % (gap * 100)
 
+    def test_mspsvae_lockstep_short(self):
+        # batch=18 -> 6 rows per triplet chunk; covers the shared-permutation
+        # triplet path and the background-subspace import
+        gap = parity_check.parity_mspsvae(n_steps=12, batch=18, report_every=1000)
+        assert gap < 1e-4, 'mspsvae lockstep gap %.6f%%' % (gap * 100)
+
     def test_decoder_lockstep_short(self):
         gap = parity_check.parity_decoder(n_steps=12, T=120, report_every=1000)
         assert gap < 1e-4, 'decoder lockstep gap %.6f%%' % (gap * 100)

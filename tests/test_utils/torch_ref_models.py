@@ -134,6 +134,99 @@ class TorchRefPSVAE(TorchRefAE):
 
 
 # ---------------------------------------------------------------------------
+# MSPS-VAE (multi-session)
+
+def t_triplet_2ds(triplet_obj, z, perms, seg_lens):
+    """Reference 2-dataset triplet enumeration with *given* permutations.
+
+    The reference draws the per-session permutations with host
+    ``np.random.permutation`` (fitting/losses.py:402-441); a lockstep
+    harness passes the permutations the JAX side drew so both sides chunk
+    identically. ``perms[ds]`` holds local row indices into session ds's
+    contiguous (dataset-major) segment; the divide-by-3 keeps the
+    reference's ``n_loss_terms = 3`` legacy normalization.
+    """
+    n_chunks = 3
+    a_full = np.asarray(perms[0])
+    b_full = np.asarray(perms[1]) + int(seg_lens[0])
+    m = min(len(a_full) // n_chunks, len(b_full) // n_chunks)
+    a = [torch.as_tensor(a_full[i::n_chunks][:m].copy()) for i in range(n_chunks)]
+    b = [torch.as_tensor(b_full[i::n_chunks][:m].copy()) for i in range(n_chunks)]
+    loss = triplet_obj(z[a[0]], z[a[1]], z[b[2]]) \
+        + triplet_obj(z[b[0]], z[b[1]], z[a[2]]) \
+        + torch.pairwise_distance(z[a[0]], z[a[1]]).mean() \
+        + torch.pairwise_distance(z[b[0]], z[b[1]]).mean()
+    return loss / 3
+
+
+class TorchRefMSPSVAE(TorchRefPSVAE):
+    """Torch MSPS-VAE: PS-VAE plus a fixed background subspace C and the
+    cross-session triplet loss (reference vaes.py:849-1072, encoder
+    vaes.py:1366-1465).
+
+    The orthogonal completion splits row-wise into A (supervised,
+    ``n_labels`` rows), C (background, next ``n_background`` rows, plus a
+    trainable bias), and B (unsupervised, remaining rows); latents order as
+    ``[z_s, z_b, z_u]``. Background dims carry no KL term — only the
+    triplet embedding loss.
+    """
+
+    def __init__(self, hp):
+        super().__init__(hp)
+        n_latents = hp['n_ae_latents']
+        n_labels = hp['n_labels']
+        n_bg = int(hp.get('n_background', 4))
+        self.n_bg = n_bg
+        self.B = nn.Linear(n_latents, n_latents - n_labels - n_bg, bias=False)
+        self.C = nn.Linear(n_latents, n_bg, bias=True)
+        m = TorchRefPSVAE.ortho_m(hp.get('rng_seed_model', 0), n_latents)
+        with torch.no_grad():
+            self.A.weight = nn.Parameter(
+                torch.from_numpy(m[:n_labels].copy()), requires_grad=False)
+            self.B.weight = nn.Parameter(
+                torch.from_numpy(m[n_labels + n_bg:].copy()), requires_grad=False)
+            self.C.weight = nn.Parameter(
+                torch.from_numpy(m[n_labels:n_labels + n_bg].copy()),
+                requires_grad=False)
+        self.TripletLoss = nn.TripletMarginLoss(margin=1.0, p=2)
+
+    def forward(self, x, eps=None):
+        x1 = self.encode_features(x)
+        mu_ff = self.FF_enc(x1)
+        logvar = self.logvar(x1)
+        z_s = self.A(mu_ff)
+        z_u = self.B(mu_ff)
+        z_b = self.C(mu_ff)
+        mu = torch.cat([z_s, z_b, z_u], dim=1)
+        z = mu if eps is None else eps * torch.exp(logvar) + mu
+        x_hat = self.decode(z)
+        y_hat = z_s * self.D_weight + self.D_bias
+        return x_hat, z, mu, logvar, y_hat
+
+    def loss(self, x, labels, eps, perms, seg_lens, alpha, beta, delta, kl=1.0):
+        """Reference MSPSVAE.loss arithmetic, single chunk (vaes.py:925-1047)."""
+        n_labels = self.hp['n_labels']
+        n_bg = self.n_bg
+        x_hat, sample, mu, logvar, y_hat = self.forward(x, eps=eps)
+        loss = -t_gaussian_ll(x, x_hat)
+        loss = loss - alpha * t_gaussian_ll(labels, y_hat)
+        loss = loss + t_kl_div_to_std_normal(mu[:, :n_labels], logvar[:, :n_labels])
+        mi, tc, dwkl = t_decomposed_kl(
+            sample[:, n_labels + n_bg:], mu[:, n_labels + n_bg:],
+            logvar[:, n_labels + n_bg:])
+        loss = loss + kl * mi + beta * tc + kl * dwkl
+        z_bg = mu[:, n_labels:n_labels + n_bg]
+        loss = loss + delta * t_triplet_2ds(self.TripletLoss, z_bg, perms, seg_lens)
+        return loss
+
+    def reference_state_dict(self):
+        sd = super().reference_state_dict()
+        sd['encoding.C.weight'] = self.C.weight
+        sd['encoding.C.bias'] = self.C.bias
+        return sd
+
+
+# ---------------------------------------------------------------------------
 # MLP neural decoder
 
 class TorchRefMLPDecoder(nn.Module):

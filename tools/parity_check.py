@@ -11,6 +11,9 @@ Covered models (VERDICT r3 item 2):
 - ``ae``      — conv AE (reference models/aes.py)
 - ``psvae``   — PS-VAE incl. the full KL decomposition + label head
   (reference models/vaes.py:506-846)
+- ``mspsvae`` — multi-session PS-VAE incl. the background subspace and the
+  cross-session triplet loss with shared chunk permutations
+  (reference models/vaes.py:849-1072, fitting/losses.py:402-441)
 - ``decoder`` — MLP neural decoder incl. Conv1d lag window + lag trimming
   (reference models/decoders.py:14-327)
 
@@ -34,11 +37,12 @@ import optax
 
 from behavenet_tpu.ops import optim
 
-from behavenet_tpu.models import AE, PSVAE
+from behavenet_tpu.models import AE, MSPSVAE, PSVAE
 from behavenet_tpu.models.decoders import Decoder
 from behavenet_tpu.utils.torch_import import torch_state_dict_to_params
 from test_utils.test_torch_import import TorchRefAE, build_hparams
-from test_utils.torch_ref_models import TorchRefMLPDecoder, TorchRefPSVAE
+from test_utils.torch_ref_models import (
+    TorchRefMLPDecoder, TorchRefMSPSVAE, TorchRefPSVAE)
 
 
 def _report(name, i, lj, lt, rel):
@@ -154,6 +158,81 @@ def parity_psvae(n_steps=200, batch=64, lr=1e-4, report_every=50,
     return float(np.mean(gaps[-n_steps // 4:]))
 
 
+def parity_mspsvae(n_steps=200, batch=48, lr=1e-4, report_every=50,
+                   alpha=50.0, beta=1.0, delta=10.0):
+    """MSPS-VAE lockstep parity: background subspace + cross-session triplet.
+
+    Two synthetic sessions (different blob statistics + a per-session
+    brightness offset so the background embedding carries real signal)
+    concatenate dataset-major; both randomness sources are shared with the
+    torch side — the reparameterization eps is drawn from the first split
+    of the loss's key, and the triplet chunk permutations from the second
+    split (mirroring ``MSPSVAE.loss_fn``'s internal ``jax.random.split`` /
+    ``ops.losses.triplet_loss`` key derivation), fed to the torch model as
+    explicit indices (the reference permutes with host numpy,
+    fitting/losses.py:430-434).
+    """
+    h_img, w_img, n_latents, n_labels, n_bg = 32, 24, 6, 2, 2
+    hp = build_hparams(
+        img=(1, h_img, w_img), n_latents=n_latents, model_class='msps-vae',
+        n_labels=n_labels, max_n_epochs=n_steps, variational=True,
+        n_sessions_per_batch=2, n_background=n_bg,
+        **{'ps_vae.alpha': alpha, 'ps_vae.beta': beta, 'ps_vae.delta': delta})
+    torch.manual_seed(0)
+    ref = TorchRefMSPSVAE(hp)
+
+    model = MSPSVAE(hp)
+    params = model.init(jax.random.PRNGKey(0))
+    params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+    tx = optim.amsgrad(lr)
+    opt_state = tx.init(params)
+    opt_t = torch.optim.Adam(
+        [p for p in ref.parameters() if p.requires_grad], lr=lr, amsgrad=True)
+
+    seg_lens = (batch, batch)
+
+    @jax.jit
+    def step(params, opt_state, batch_d, rng):
+        def lf(p):
+            return model.loss_fn(p, batch_d, rng, beta=beta, kl=1.0,
+                                 alpha=alpha, delta=delta, seg_lens=seg_lens)[0]
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    gaps = []
+    data_a = _blob_batches(np.random.RandomState(3), batch, h_img, w_img, n_steps)
+    data_b = _blob_batches(np.random.RandomState(4), batch, h_img, w_img, n_steps)
+    for i, ((xa, la), (xb, lb)) in enumerate(zip(data_a, data_b), 1):
+        xb = 0.8 * xb + 0.1  # per-session appearance shift
+        x = np.concatenate([xa, xb], axis=0)
+        labels = np.concatenate([la, lb], axis=0)
+        rng = jax.random.PRNGKey(2000 + i)
+        # mirror loss_fn's internal key derivation
+        rng_f, rng_t = jax.random.split(rng)
+        eps = np.asarray(jax.random.normal(rng_f, (2 * batch, n_latents), jnp.float32))
+        t_keys = jax.random.split(rng_t, 2)
+        perms = [np.asarray(jax.random.permutation(t_keys[ds], batch))
+                 for ds in range(2)]
+        params, opt_state, loss = step(
+            params, opt_state,
+            {'images': jnp.asarray(x), 'labels': jnp.asarray(labels)}, rng)
+        opt_t.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        loss_t = ref.loss(xt, torch.tensor(labels), torch.tensor(eps),
+                          perms, seg_lens, alpha=alpha, beta=beta, delta=delta)
+        loss_t.backward()
+        opt_t.step()
+        lj, lt = float(loss), float(loss_t)
+        rel = abs(lj - lt) / max(abs(lt), 1e-12)
+        gaps.append(rel)
+        if i % report_every == 0 or i == 1:
+            _report('mspsvae', i, lj, lt, rel)
+    return float(np.mean(gaps[-n_steps // 4:]))
+
+
 def parity_decoder(n_steps=200, T=200, lr=1e-3, report_every=50):
     """MLP neural-decoder lockstep parity incl. Conv1d lag window + trimming."""
     n_in, n_out, n_lags, n_max_lags = 16, 4, 2, 3
@@ -214,7 +293,8 @@ def parity_decoder(n_steps=200, T=200, lr=1e-3, report_every=50):
     return float(np.mean(gaps[-n_steps // 4:]))
 
 
-PARITIES = {'ae': parity_ae, 'psvae': parity_psvae, 'decoder': parity_decoder}
+PARITIES = {'ae': parity_ae, 'psvae': parity_psvae, 'mspsvae': parity_mspsvae,
+            'decoder': parity_decoder}
 
 
 def main(models=None):
