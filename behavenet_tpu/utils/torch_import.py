@@ -50,13 +50,17 @@ def torch_state_dict_to_params(state_dict, model, params):
     sd = {k: np.array(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
           for k, v in state_dict.items()}
     new = {k: (dict(v) if isinstance(v, dict) else v) for k, v in params.items()}
-    new['encoder'] = dict(params['encoder'])
+    # decoder-only models (ConvDecoder, reference decoders.py:355-496) have
+    # no encoder half; everything below guards per-group
+    if 'encoder' in params:
+        new['encoder'] = dict(params['encoder'])
     new['decoder'] = dict(params['decoder'])
 
     hp = model.hparams
 
     # ---- encoder convs: reference names conv layers by global layer number
-    conv_specs = [s for s in model.encoding.layers if s['type'] == 'conv']
+    conv_specs = [s for s in getattr(model, 'encoding', None).layers
+                  if s['type'] == 'conv'] if hasattr(model, 'encoding') else []
     for g, spec in enumerate(conv_specs):
         for tkey in ('encoding.encoder.conv%i.weight' % g,):
             if tkey in sd:
@@ -70,7 +74,8 @@ def torch_state_dict_to_params(state_dict, model, params):
     # ---- batch-norm layers (reference names batchnorm%i alongside conv%i /
     # convtranspose%i; state dict carries weight/bias + running stats when
     # track_running_stats=True, aes.py:92-95, 332-336)
-    for group, module, prefix in (('encoder', model.encoding, 'encoding.encoder'),
+    for group, module, prefix in (('encoder', getattr(model, 'encoding', None),
+                                   'encoding.encoder'),
                                   ('decoder', getattr(model, 'decoding', None),
                                    'decoding.decoder')):
         if module is None or not hasattr(module, 'layers'):
@@ -92,13 +97,14 @@ def torch_state_dict_to_params(state_dict, model, params):
             new[group][spec['name']] = p
 
     # ---- encoder FF (+ logvar): permute input dims CHW -> HWC
-    c_last = hp['ae_encoding_n_channels'][-1]
-    h_last = hp['ae_encoding_y_dim'][-1]
-    w_last = hp['ae_encoding_x_dim'][-1]
-    perm_in = _chw_to_hwc_perm(c_last, h_last, w_last)
+    if 'encoder' in new:
+        c_last = hp['ae_encoding_n_channels'][-1]
+        h_last = hp['ae_encoding_y_dim'][-1]
+        w_last = hp['ae_encoding_x_dim'][-1]
+        perm_in = _chw_to_hwc_perm(c_last, h_last, w_last)
     for tname, pname in (('FF', 'fc'), ('logvar', 'logvar')):
         tkey = 'encoding.%s.weight' % tname
-        if tkey in sd and pname in new['encoder']:
+        if tkey in sd and pname in new.get('encoder', {}):
             w = sd[tkey]  # (n_latents, fc_in_chw)
             b = sd['encoding.%s.bias' % tname]
             new['encoder'][pname] = {
@@ -202,8 +208,9 @@ def params_to_torch_state_dict(model, params):
             sd['decoding.bias'] = bt
         return sd
 
-    # ---- encoder convs
-    conv_specs = [s for s in model.encoding.layers if s['type'] == 'conv']
+    # ---- encoder convs (absent on decoder-only models, e.g. ConvDecoder)
+    conv_specs = [s for s in getattr(model, 'encoding', None).layers
+                  if s['type'] == 'conv'] if hasattr(model, 'encoding') else []
     for g, spec in enumerate(conv_specs):
         p = enc.get(spec['name'])
         if p is not None:
@@ -212,7 +219,8 @@ def params_to_torch_state_dict(model, params):
             sd['encoding.encoder.conv%i.bias' % g] = to_np(p['b'])
 
     # ---- batch-norm layers
-    for group, module, prefix in (('encoder', model.encoding, 'encoding.encoder'),
+    for group, module, prefix in (('encoder', getattr(model, 'encoding', None),
+                                   'encoding.encoder'),
                                   ('decoder', getattr(model, 'decoding', None),
                                    'decoding.decoder')):
         if module is None or not hasattr(module, 'layers'):

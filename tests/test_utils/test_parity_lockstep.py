@@ -29,3 +29,8 @@ class TestLockstepParity:
     def test_decoder_lockstep_short(self):
         gap = parity_check.parity_decoder(n_steps=12, T=120, report_every=1000)
         assert gap < 1e-4, 'decoder lockstep gap %.6f%%' % (gap * 100)
+
+    def test_convdecoder_lockstep_short(self):
+        # covers the decoder-only torch_import path (no encoder pytree)
+        gap = parity_check.parity_convdecoder(n_steps=12, batch=16, report_every=1000)
+        assert gap < 1e-4, 'convdecoder lockstep gap %.6f%%' % (gap * 100)

@@ -16,6 +16,8 @@ Covered models (VERDICT r3 item 2):
   (reference models/vaes.py:849-1072, fitting/losses.py:402-441)
 - ``decoder`` — MLP neural decoder incl. Conv1d lag window + lag trimming
   (reference models/decoders.py:14-327)
+- ``convdecoder`` — conv label-decoder (labels-images)
+  (reference models/decoders.py:355-496)
 
 Run on CPU:
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/parity_check.py [--json] [--model ae]
@@ -38,7 +40,7 @@ import optax
 from behavenet_tpu.ops import optim
 
 from behavenet_tpu.models import AE, MSPSVAE, PSVAE
-from behavenet_tpu.models.decoders import Decoder
+from behavenet_tpu.models.decoders import ConvDecoder, Decoder
 from behavenet_tpu.utils.torch_import import torch_state_dict_to_params
 from test_utils.test_torch_import import TorchRefAE, build_hparams
 from test_utils.torch_ref_models import (
@@ -293,8 +295,60 @@ def parity_decoder(n_steps=200, T=200, lr=1e-3, report_every=50):
     return float(np.mean(gaps[-n_steps // 4:]))
 
 
+def parity_convdecoder(n_steps=200, batch=32, lr=1e-3, report_every=50):
+    """Conv label-decoder (labels-images) lockstep parity.
+
+    The torch side reuses TorchRefAE's decoder half: with the arch built at
+    ``n_latents == n_labels`` its FF + tconv stack is exactly the reference
+    ConvDecoder (decoders.py:355-496 builds ConvAEDecoder with
+    ``hidden_layer_size = n_labels``); encoder params sit in the optimizer
+    with ``grad=None`` and are never touched.
+    """
+    h_img, w_img, n_labels = 32, 24, 2
+    hp = build_hparams(img=(1, h_img, w_img), n_latents=n_labels,
+                       model_class='labels-images', n_labels=n_labels)
+    torch.manual_seed(0)
+    ref = TorchRefAE(hp)
+
+    model = ConvDecoder(hp)
+    params = model.init(jax.random.PRNGKey(0))
+    params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+    tx = optim.amsgrad(lr)
+    opt_state = tx.init(params)
+    opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
+
+    @jax.jit
+    def step(params, opt_state, batch_d):
+        def lf(p):
+            return model.loss_fn(p, batch_d, jax.random.PRNGKey(0))[0]
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    gaps = []
+    data = _blob_batches(np.random.RandomState(5), batch, h_img, w_img, n_steps)
+    for i, (x, labels) in enumerate(data, 1):
+        params, opt_state, loss = step(
+            params, opt_state,
+            {'images': jnp.asarray(x), 'labels': jnp.asarray(labels)})
+        opt_t.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        y_t = ref.decode(torch.tensor(labels))
+        loss_t = torch.mean((y_t - xt) ** 2)
+        loss_t.backward()
+        opt_t.step()
+        lj, lt = float(loss), float(loss_t)
+        rel = abs(lj - lt) / max(abs(lt), 1e-12)
+        gaps.append(rel)
+        if i % report_every == 0 or i == 1:
+            _report('convdec', i, lj, lt, rel)
+    return float(np.mean(gaps[-n_steps // 4:]))
+
+
 PARITIES = {'ae': parity_ae, 'psvae': parity_psvae, 'mspsvae': parity_mspsvae,
-            'decoder': parity_decoder}
+            'decoder': parity_decoder, 'convdecoder': parity_convdecoder}
 
 
 def main(models=None):
