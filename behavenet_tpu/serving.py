@@ -307,3 +307,34 @@ class ServingBundle:
 def load_bundle(path):
     """Load a directory written by :func:`export_model`."""
     return ServingBundle(path)
+
+
+def cli(argv=None):
+    """Console entry (``behavenet-export-serving``): export a fitted
+    experiment-store version directory to serving artifacts."""
+    import argparse
+    p = argparse.ArgumentParser(
+        prog='behavenet-export-serving',
+        description='AOT-export a fitted experiment-store version '
+                    '(meta_tags.pkl + best_val_model.pt) to self-contained '
+                    'StableHLO serving artifacts.')
+    p.add_argument('version_dir', help='experiment-store version directory')
+    p.add_argument('-o', '--out_dir', required=True,
+                   help='directory to write manifest.json + *.stablehlo into')
+    p.add_argument('--names', nargs='+', default=None, metavar='HEAD',
+                   help='restrict exported heads (default: every head the '
+                        'model class supports)')
+    args = p.parse_args(argv)
+    manifest = export_version(args.version_dir, args.out_dir, names=args.names)
+    for name, info in sorted(manifest['artifacts'].items()):
+        print('exported %s -> %s (min leading dim %d)'
+              % (name, os.path.join(args.out_dir, info['file']),
+                 info['min_leading_dim']))
+    for name, err in sorted(manifest['skipped'].items()):
+        print('skipped %s: %s' % (name, err))
+    return 0 if manifest['artifacts'] else 1
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(cli())

@@ -21,8 +21,8 @@ def test_console_scripts_resolve():
     with open(os.path.join(REPO, 'pyproject.toml'), 'rb') as f:
         cfg = tomllib.load(f)
     scripts = cfg['project']['scripts']
-    # one script per grid-search CLI
-    assert len(scripts) == 5
+    # one script per grid-search CLI + the serving exporter
+    assert len(scripts) == 6
     for name, target in scripts.items():
         mod_name, attr = target.split(':')
         fn = getattr(importlib.import_module(mod_name), attr)

@@ -187,6 +187,25 @@ class TestExportVersion:
         np.testing.assert_allclose(np.asarray(b.encode(images)),
                                    np.asarray(ref), atol=1e-5)
 
+    def test_cli(self, tmp_path, images, capsys):
+        # behavenet-export-serving console script (serving.cli) end to end
+        hp = _ae_hparams()
+        model = AE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        vdir = tmp_path / 'version_0'
+        vdir.mkdir()
+        with open(vdir / 'meta_tags.pkl', 'wb') as f:
+            pickle.dump(hp, f)
+        models_base.save_params(params, str(vdir / 'best_val_model.pt'))
+        out = str(tmp_path / 'srv')
+        rc = serving.cli([str(vdir), '-o', out, '--names', 'encode'])
+        assert rc == 0
+        assert 'exported encode' in capsys.readouterr().out
+        b = serving.load_bundle(out)
+        assert b.names() == ['encode']
+        assert np.asarray(b.encode(images)).shape == (images.shape[0],
+                                                      hp['n_ae_latents'])
+
     def test_manifest_written(self, tmp_path):
         model = AE(_ae_hparams())
         params = model.init(jax.random.PRNGKey(0))
