@@ -206,7 +206,20 @@ def run_grid_search(main_fn, hyperparams, script_module=None, group_fn=None):
         main_fn(trials[idx])
         return
     print('running %i grid-search trial(s)' % len(trials))
-    vmap_k = hyperparams.base.get('vmap_trials', 0) or 0
+    vmap_k = hyperparams.base.get('vmap_trials', None)
+    if vmap_k is None and len(trials) > 1:
+        # multi-chip hosts fan eligible grid trials out across local devices
+        # automatically (the reference maps trials across local GPUs,
+        # ae_grid_search.py:173-187): group them all into one program whose
+        # trial axis shards over the device mesh (fit_vmap_grid mesh='auto').
+        # Opt out with "vmap_trials": 0 / cap devices with "grid_devices".
+        try:
+            import jax
+            n_dev = len(jax.devices())
+        except Exception:
+            n_dev = 1
+        vmap_k = len(trials) if n_dev > 1 else 0
+    vmap_k = vmap_k or 0
     if vmap_k and group_fn is not None and not (n_workers > 1 and device == 'cpu'):
         # k trials per jitted program over one shared data stream
         # (fitting/vmap_grid.py); trials whose hparams vary in anything

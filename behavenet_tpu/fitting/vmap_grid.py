@@ -18,6 +18,14 @@ assumed (tools/bench_vmap_grid.py, v5e, docs/tpu_design.md "Parallelism"):
   thousand frames/s) grid throughput approaches k times the reference's
   strictly sequential trial loop. The torch reference re-reads and
   re-uploads the dataset once per trial.
+- **Multi-chip hosts shard the trial axis** (``mesh=`` /
+  ``fit_vmap_grid(mesh='auto')``): the reference fans grid trials across
+  local GPUs one-process-per-device (ae_grid_search.py:173-187); here the
+  SAME grid-in-one-program step runs as a ``shard_map`` whose first mesh
+  axis splits the trials, so an 8-chip host fits 8 trials concurrently off
+  one data stream — n-times the device compute AND one stream, with
+  per-trial numerics identical to the single-device step (the shard body
+  is the same program; no collectives).
 
 What may vary per trial (everything else must be identical — the trials
 share one compiled program and one data stream):
@@ -46,13 +54,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from behavenet_tpu.ops import optim
 from behavenet_tpu.fitting.training import (
     _STATE_LEAVES, _normalize_images, merge_state)
 
 __all__ = ['init_trials', 'stack_loss_kwargs', 'make_vmap_grid_functions',
-           'group_vmappable', 'fit_vmap_grid']
+           'group_vmappable', 'fit_vmap_grid', 'default_grid_mesh']
 
 # hparams a trial may override besides loss_fn keywords
 _OPT_KEYS = ('learning_rate', 'l2_reg')
@@ -125,7 +134,31 @@ def stack_loss_kwargs(models, trials, epoch):
     return {k: jnp.stack([kw[k] for kw in per_trial]) for k in per_trial[0]}
 
 
-def make_vmap_grid_functions(model, base_hparams, trials, mode='scan'):
+def default_grid_mesh(n_trials, hparams=None, axis_name='grid'):
+    """The mesh :func:`fit_vmap_grid` shards grid trials over by default.
+
+    The reference fans grid trials across local GPUs as one process per
+    device (reference fitting/ae_grid_search.py:173-187 via test-tube's
+    ``optimize_parallel_gpu``). The TPU-native equivalent is a 1-D mesh
+    over the local chips with the *trial* axis of the grid-in-one-program
+    step sharded across it (see :func:`make_vmap_grid_functions`); this
+    helper builds that mesh. Returns ``None`` (single-device path) when
+    only one device is visible, when there is nothing to shard, or when
+    the compute config pins ``grid_devices`` to 0/1. ``grid_devices: n``
+    caps the mesh at the first ``n`` local devices.
+    """
+    devices = jax.devices()
+    n_dev = len(devices)
+    if hparams is not None and hparams.get('grid_devices') is not None:
+        n_dev = min(n_dev, int(hparams['grid_devices']))
+    n_dev = min(n_dev, int(n_trials))
+    if n_dev <= 1:
+        return None
+    return Mesh(np.asarray(devices[:n_dev]), (axis_name,))
+
+
+def make_vmap_grid_functions(model, base_hparams, trials, mode='scan',
+                             mesh=None):
     """Build (init_opt, train_step, eval_step) over a leading trial axis.
 
     - ``init_opt(params_k) -> opt_state_k`` (vmapped optax init)
@@ -144,9 +177,26 @@ def make_vmap_grid_functions(model, base_hparams, trials, mode='scan'):
     convs fuse better. Either way all k trials consume ONE host batch, so
     in input-bound regimes (slow storage, remote links, the 0.5 GB/s/chip
     SURVEY budget) grid throughput approaches k times the sequential loop.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` whose FIRST axis shards the
+    trial axis — the multi-chip grid fan-out (the reference maps grid
+    trials across local GPUs, ae_grid_search.py:173-187; here n chips each
+    run ``k/n`` trials of the same program concurrently). Implemented as a
+    ``shard_map`` manual over the first mesh axis with the per-shard body
+    identical to the single-device path (``mode`` applies within each
+    shard), so per-trial numerics match the unsharded step exactly — the
+    trials are data-independent and no collectives are inserted. ``k``
+    that doesn't divide the axis is padded inside the step by repeating
+    the last trial's lanes (outputs sliced back; donation unaffected). Any
+    FURTHER mesh axes stay *automatic* (GSPMD): pass a 2-D
+    ``('grid', 'dp')`` mesh and a batch placed with
+    ``NamedSharding(mesh, P('dp'))`` to additionally shard the shared
+    batch's frame axis — XLA inserts the per-trial gradient all-reduce
+    over 'dp' (tests/test_parallel/test_grid.py pins equivalence).
     """
     if mode not in ('scan', 'vmap'):
         raise ValueError("mode must be 'scan' or 'vmap', got %r" % (mode,))
+    k = len(trials)
     lrs = jnp.asarray([float(dict(base_hparams, **t)['learning_rate'])
                        for t in trials], dtype=jnp.float32)
     wds = jnp.asarray([float(dict(base_hparams, **t).get('l2_reg', 0) or 0)
@@ -200,32 +250,83 @@ def make_vmap_grid_functions(model, base_hparams, trials, mode='scan'):
                                    **loss_kwargs)
         return metrics
 
+    def _fan(step1, arg_trees):
+        """Apply the per-trial step over the leading trial axis (one shard)."""
+        if mode == 'vmap':
+            return jax.vmap(step1)(*arg_trees)
+        # lax.map = scan over trials: one trial's program body compiled
+        # once, batch captured as a shared constant
+        return jax.lax.map(lambda xs: step1(*xs), arg_trees)
+
+    if mesh is not None:
+        grid_axis = mesh.axis_names[0]
+        n_grid = mesh.shape[grid_axis]
+        pad = (-k) % n_grid
+        # further mesh axes (e.g. 'dp') stay automatic: GSPMD shards the
+        # batch/activations inside each grid shard and inserts collectives
+        manual = ({grid_axis} if len(mesh.axis_names) > 1 else
+                  set(mesh.axis_names))
+
+        def _pad_k(tree):
+            if not pad:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])]), tree)
+
+        def _unpad_k(tree):
+            if not pad:
+                return tree
+            return jax.tree_util.tree_map(lambda a: a[:k], tree)
+
+        def _shard_call(local, args, batch):
+            def local_(*xs):
+                # the shared batch enters replicated over the grid axis but
+                # every per-trial gradient wrt it varies by lane (custom conv
+                # VJPs produce {V:grid} cotangents): mark it varying up front
+                # — a type-level broadcast, no communication
+                xs, b = xs[:-1], xs[-1]
+                b = jax.tree_util.tree_map(
+                    lambda a: jax.lax.pcast(a, grid_axis, to='varying'), b)
+                return local(*xs, b)
+            sm = jax.shard_map(
+                local_, mesh=mesh,
+                in_specs=(P(grid_axis),) * len(args) + (P(),),
+                out_specs=P(grid_axis), axis_names=manual)
+            return _unpad_k(sm(*[_pad_k(a) for a in args], batch))
+
     # seg_lens is a static per-bucket tuple (jit static_argnames below), so
     # the per-mode fan-out closes over it alongside the shared batch
     def train_step(params_k, opt_state_k, rngs_k, batch, loss_kwargs_k,
                    seg_lens=None):
         batch = _normalize_images(batch)
 
-        def step1(params, opt_state, rng, loss_kwargs, lr, wd):
+        def step1(params, opt_state, rng, loss_kwargs, lr, wd, batch=None):
             return one_train_step(params, opt_state, rng, batch, loss_kwargs,
                                   lr, wd, seg_lens)
-        if mode == 'vmap':
-            return jax.vmap(step1)(params_k, opt_state_k, rngs_k,
-                                   loss_kwargs_k, lrs, wds)
-        # lax.map = scan over trials: one trial's program body compiled
-        # once, batch captured as a shared constant
-        return jax.lax.map(lambda xs: step1(*xs),
-                           (params_k, opt_state_k, rngs_k, loss_kwargs_k, lrs, wds))
+        args = (params_k, opt_state_k, rngs_k, loss_kwargs_k, lrs, wds)
+        if mesh is not None:
+            def local(params_k, opt_state_k, rngs_k, loss_kwargs_k,
+                      lrs_l, wds_l, batch):
+                return _fan(lambda p, o, r, lk, lr, wd: step1(
+                    p, o, r, lk, lr, wd, batch),
+                    (params_k, opt_state_k, rngs_k, loss_kwargs_k, lrs_l, wds_l))
+            return _shard_call(local, args, batch)
+        return _fan(lambda p, o, r, lk, lr, wd: step1(p, o, r, lk, lr, wd, batch),
+                    args)
 
     def eval_step(params_k, rngs_k, batch, loss_kwargs_k, seg_lens=None):
         batch = _normalize_images(batch)
 
-        def eval1(params, rng, loss_kwargs):
+        def eval1(params, rng, loss_kwargs, batch):
             return one_eval_step(params, rng, batch, loss_kwargs, seg_lens)
-        if mode == 'vmap':
-            return jax.vmap(eval1)(params_k, rngs_k, loss_kwargs_k)
-        return jax.lax.map(lambda xs: eval1(*xs),
-                           (params_k, rngs_k, loss_kwargs_k))
+        args = (params_k, rngs_k, loss_kwargs_k)
+        if mesh is not None:
+            def local(params_k, rngs_k, loss_kwargs_k, batch):
+                return _fan(lambda p, r, lk: eval1(p, r, lk, batch),
+                            (params_k, rngs_k, loss_kwargs_k))
+            return _shard_call(local, args, batch)
+        return _fan(lambda p, r, lk: eval1(p, r, lk, batch), args)
 
     def init_opt(params_k):
         return jax.vmap(lambda p, lr, wd: _tx(lr, wd).init(p))(params_k, lrs, wds)
@@ -270,7 +371,7 @@ def group_vmappable(trials, max_k):
 
 
 def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
-                  warm_fn=None, mode='scan'):
+                  warm_fn=None, mode='scan', mesh='auto'):
     """Fit k grid trials in one program over a shared data stream.
 
     Mirrors :func:`behavenet_tpu.fitting.training.fit` semantics per trial
@@ -283,7 +384,14 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     program per bucket combination, as in the sequential trainer. Not
     supported here (use the sequential path): mid-run resume checkpoints,
     ``steps_per_dispatch`` (the trial scan already amortizes dispatch),
-    dp/tp sharding.
+    tp sharding.
+
+    ``mesh='auto'`` (default) shards the trial axis over all local devices
+    whenever more than one is visible (:func:`default_grid_mesh`; cap or
+    disable with ``grid_devices`` in the compute config) — the TPU-native
+    equivalent of the reference mapping grid trials across local GPUs
+    (reference fitting/ae_grid_search.py:173-187). Pass an explicit mesh
+    (first axis = trial axis) or ``None`` (single-device) to override.
 
     Returns the list of per-trial best params.
     """
@@ -297,6 +405,11 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     model_class = hp0['model_class']
     trials = [{key: h.get(key) for key in _OPT_KEYS + _SEED_KEYS}
               for h in hparams_list]
+    if isinstance(mesh, str) and mesh == 'auto':
+        mesh = default_grid_mesh(k, hp0)
+    if mesh is not None:
+        print('vmap_trials: sharding %i trials over %i devices (mesh %r)'
+              % (k, mesh.shape[mesh.axis_names[0]], tuple(mesh.axis_names)))
 
     # per-trial init (+ optional warm start), stacked along the trial axis
     stacked = []
@@ -308,7 +421,7 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     params_k = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stacked)
 
     init_opt, train_step, eval_step = make_vmap_grid_functions(
-        models[0], hp0, trials, mode=mode)
+        models[0], hp0, trials, mode=mode, mesh=mesh)
     opt_state_k = init_opt(params_k)
 
     loggers = [Logger(n_datasets=data_generator.n_datasets) for _ in range(k)]
