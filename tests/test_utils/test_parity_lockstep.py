@@ -1,4 +1,4 @@
-"""Short lockstep torch-parity regressions for PS-VAE and the MLP decoder.
+"""Short lockstep torch-parity regressions for the full model matrix.
 
 The full 200-step harness lives in tools/parity_check.py (run by bench.py);
 these short runs catch regressions in loss arithmetic, weight import, the
@@ -15,6 +15,22 @@ import parity_check  # noqa: E402
 
 
 class TestLockstepParity:
+
+    def test_vae_lockstep_short(self):
+        # anneal_epochs=6 < n_steps so the ramp AND the reference's
+        # post-ramp drop to beta=1 (vaes.py:96-98) are both exercised
+        gap = parity_check.parity_vae(n_steps=12, batch=16, report_every=1000,
+                                      anneal_epochs=6)
+        assert gap < 1e-4, 'vae lockstep gap %.6f%%' % (gap * 100)
+
+    def test_btcvae_lockstep_short(self):
+        gap = parity_check.parity_btcvae(n_steps=12, batch=16, report_every=1000,
+                                         anneal_epochs=6)
+        assert gap < 1e-4, 'btcvae lockstep gap %.6f%%' % (gap * 100)
+
+    def test_aemsp_lockstep_short(self):
+        gap = parity_check.parity_aemsp(n_steps=12, batch=16, report_every=1000)
+        assert gap < 1e-4, 'aemsp lockstep gap %.6f%%' % (gap * 100)
 
     def test_psvae_lockstep_short(self):
         gap = parity_check.parity_psvae(n_steps=12, batch=16, report_every=1000)

@@ -56,6 +56,87 @@ def t_decomposed_kl(z, mu, logvar):
 
 
 # ---------------------------------------------------------------------------
+# VAE / Beta-TC-VAE
+
+class TorchRefVAE(TorchRefAE):
+    """Torch beta-VAE with the reference's module graph and key naming.
+
+    TorchRefAE plus a logvar head off the flattened conv features
+    (reference ConvAEEncoder with ``variational=True``, aes.py:104-110);
+    ``forward`` takes an explicit ``eps`` so the lockstep harness shares
+    sampling noise with the JAX side, keeping the reference's
+    ``std = exp(logvar)`` reparameterization quirk (vaes.py:17-35).
+    """
+
+    def __init__(self, hp):
+        super().__init__(hp)
+        self.logvar = nn.Linear(self.FF_enc.in_features, hp['n_ae_latents'])
+
+    def forward(self, x, eps=None):
+        x1 = self.encode_features(x)
+        mu = self.FF_enc(x1)
+        logvar = self.logvar(x1)
+        z = mu if eps is None else eps * torch.exp(logvar) + mu
+        return self.decode(z), z, mu, logvar
+
+    def loss(self, x, eps, beta):
+        """Reference VAE.loss arithmetic, single chunk (vaes.py:155-209)."""
+        x_hat, _, mu, logvar = self.forward(x, eps=eps)
+        return -t_gaussian_ll(x, x_hat) + beta * t_kl_div_to_std_normal(mu, logvar)
+
+    def reference_state_dict(self):
+        sd = super().reference_state_dict()
+        sd['encoding.logvar.weight'] = self.logvar.weight
+        sd['encoding.logvar.bias'] = self.logvar.bias
+        return sd
+
+
+class TorchRefBetaTCVAE(TorchRefVAE):
+    """Torch Beta-TC-VAE: same graph as the VAE, decomposed-KL ELBO with the
+    total-correlation term up-weighted (reference vaes.py:367-505)."""
+
+    def loss(self, x, eps, beta, kl=1.0):
+        """Reference BetaTCVAE.loss arithmetic, single chunk (vaes.py:411-505)."""
+        x_hat, sample, mu, logvar = self.forward(x, eps=eps)
+        mi, tc, dwkl = t_decomposed_kl(sample, mu, logvar)
+        return -t_gaussian_ll(x, x_hat) + kl * mi + beta * tc + kl * dwkl
+
+
+# ---------------------------------------------------------------------------
+# AEMSP (matrix-subspace-projection AE)
+
+class TorchRefAEMSP(TorchRefAE):
+    """Torch AEMSP: AE plus a trainable bias-free projection from latents to
+    labels, trained with the matrix-subspace-projection penalty (reference
+    aes.py:901-1080; Li et al 2019, arXiv 1907.12385)."""
+
+    def __init__(self, hp):
+        super().__init__(hp)
+        self.projection = nn.Linear(hp['n_ae_latents'], hp['n_labels'], bias=False)
+
+    def forward(self, x):
+        z = self.FF_enc(self.encode_features(x))
+        return self.decode(z), z, self.projection(z)
+
+    def loss(self, x, labels, alpha):
+        """Reference AEMSP.loss arithmetic, single chunk (aes.py:1019-1041):
+        pixel MSE + alpha * (label MSE + back-projection MSE)."""
+        x_hat, z, y_hat = self.forward(x)
+        loss_msp = torch.mean((y_hat - labels) ** 2) \
+            + torch.mean((z - y_hat @ self.projection.weight) ** 2)
+        return torch.mean((x_hat - x) ** 2) + alpha * loss_msp
+
+    def reference_state_dict(self):
+        sd = super().reference_state_dict()
+        sd['projection.weight'] = self.projection.weight
+        # U is a save-time artifact (aes.py:1067-1080); zeros keep the import
+        # path exercised without affecting training
+        sd['U.weight'] = torch.zeros(self.hp['n_ae_latents'],
+                                     self.hp['n_ae_latents'])
+        return sd
+
+
+# ---------------------------------------------------------------------------
 # PS-VAE
 
 class TorchRefPSVAE(TorchRefAE):

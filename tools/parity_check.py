@@ -7,8 +7,14 @@ batch sequence, Adam(amsgrad) with the same hyperparameters, shared
 sampling noise where the model is variational) and trained in lockstep for
 N steps; the converged-regime relative loss gap is reported.
 
-Covered models (VERDICT r3 item 2):
+Covered models (VERDICT r3 item 2, completed VERDICT r4 item 4):
 - ``ae``      — conv AE (reference models/aes.py)
+- ``vae``     — beta-VAE incl. the beta-anneal schedule
+  (reference models/vaes.py:38-209)
+- ``btcvae``  — Beta-TC-VAE: decomposed-KL ELBO gradients + twin anneal
+  schedules (reference models/vaes.py:367-505)
+- ``aemsp``   — AEMSP / cond-ae-msp: matrix-subspace-projection penalty
+  (reference models/aes.py:901-1080)
 - ``psvae``   — PS-VAE incl. the full KL decomposition + label head
   (reference models/vaes.py:506-846)
 - ``mspsvae`` — multi-session PS-VAE incl. the background subspace and the
@@ -39,12 +45,13 @@ import optax
 
 from behavenet_tpu.ops import optim
 
-from behavenet_tpu.models import AE, MSPSVAE, PSVAE
+from behavenet_tpu.models import AE, AEMSP, MSPSVAE, PSVAE, VAE, BetaTCVAE
 from behavenet_tpu.models.decoders import ConvDecoder, Decoder
 from behavenet_tpu.utils.torch_import import torch_state_dict_to_params
 from test_utils.test_torch_import import TorchRefAE, build_hparams
 from test_utils.torch_ref_models import (
-    TorchRefMLPDecoder, TorchRefMSPSVAE, TorchRefPSVAE)
+    TorchRefAEMSP, TorchRefBetaTCVAE, TorchRefMLPDecoder, TorchRefMSPSVAE,
+    TorchRefPSVAE, TorchRefVAE)
 
 
 def _report(name, i, lj, lt, rel):
@@ -100,6 +107,164 @@ def parity_ae(n_steps=200, batch=32, lr=1e-3, report_every=50):
         gaps.append(rel)
         if i % report_every == 0 or i == 1:
             _report('ae', i, lj, lt, rel)
+    return float(np.mean(gaps[-n_steps // 4:]))
+
+
+def parity_vae(n_steps=200, batch=32, lr=1e-4, report_every=50, beta=4.0,
+               anneal_epochs=100):
+    """VAE lockstep parity incl. the beta-anneal schedule (vaes.py:38-209).
+
+    Each step advances the epoch counter so the linear 0 -> beta ramp (and
+    the reference's post-ramp drop to 1.0, vaes.py:96-98) is exercised in
+    lockstep; sampling noise is shared via an explicit eps (the same draw
+    the jitted loss makes internally from its key).
+    """
+    h_img, w_img, n_latents = 32, 24, 5
+    hp = build_hparams(
+        img=(1, h_img, w_img), n_latents=n_latents, model_class='vae',
+        max_n_epochs=n_steps, variational=True,
+        **{'vae.beta': beta, 'vae.beta_anneal_epochs': anneal_epochs})
+    torch.manual_seed(0)
+    ref = TorchRefVAE(hp)
+
+    model = VAE(hp)
+    params = model.init(jax.random.PRNGKey(0))
+    params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+    tx = optim.amsgrad(lr)
+    opt_state = tx.init(params)
+    opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
+
+    @jax.jit
+    def step(params, opt_state, batch_d, rng, beta_t):
+        def lf(p):
+            return model.loss_fn(p, batch_d, rng, beta=beta_t)[0]
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    gaps = []
+    data = _blob_batches(np.random.RandomState(6), batch, h_img, w_img, n_steps)
+    for i, (x, _) in enumerate(data, 1):
+        rng = jax.random.PRNGKey(3000 + i)
+        eps = np.asarray(jax.random.normal(rng, (batch, n_latents), jnp.float32))
+        beta_i = float(model.beta_vals[i - 1])  # step i == epoch i-1
+        params, opt_state, loss = step(
+            params, opt_state, {'images': jnp.asarray(x)}, rng,
+            jnp.float32(beta_i))
+        opt_t.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        loss_t = ref.loss(xt, torch.tensor(eps), beta=beta_i)
+        loss_t.backward()
+        opt_t.step()
+        lj, lt = float(loss), float(loss_t)
+        rel = abs(lj - lt) / max(abs(lt), 1e-12)
+        gaps.append(rel)
+        if i % report_every == 0 or i == 1:
+            _report('vae', i, lj, lt, rel)
+    return float(np.mean(gaps[-n_steps // 4:]))
+
+
+def parity_btcvae(n_steps=200, batch=64, lr=1e-4, report_every=50, beta=5.0,
+                  anneal_epochs=100):
+    """Beta-TC-VAE lockstep parity: decomposed-KL ELBO gradients (the
+    minibatch MI/TC/DWKL estimators, vaes.py:411-505) plus the twin
+    anneal schedules (TC ramps 0 -> beta while MI/DWKL ramp 0 -> 1)."""
+    h_img, w_img, n_latents = 32, 24, 6
+    hp = build_hparams(
+        img=(1, h_img, w_img), n_latents=n_latents, model_class='beta-tcvae',
+        max_n_epochs=n_steps, variational=True,
+        **{'beta_tcvae.beta': beta,
+           'beta_tcvae.beta_anneal_epochs': anneal_epochs})
+    torch.manual_seed(0)
+    ref = TorchRefBetaTCVAE(hp)
+
+    model = BetaTCVAE(hp)
+    params = model.init(jax.random.PRNGKey(0))
+    params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+    tx = optim.amsgrad(lr)
+    opt_state = tx.init(params)
+    opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
+
+    @jax.jit
+    def step(params, opt_state, batch_d, rng, beta_t, kl_t):
+        def lf(p):
+            return model.loss_fn(p, batch_d, rng, beta=beta_t, kl=kl_t)[0]
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    gaps = []
+    data = _blob_batches(np.random.RandomState(7), batch, h_img, w_img, n_steps)
+    for i, (x, _) in enumerate(data, 1):
+        rng = jax.random.PRNGKey(4000 + i)
+        eps = np.asarray(jax.random.normal(rng, (batch, n_latents), jnp.float32))
+        beta_i = float(model.beta_vals[i - 1])
+        kl_i = float(model.kl_anneal_vals[i - 1])
+        params, opt_state, loss = step(
+            params, opt_state, {'images': jnp.asarray(x)}, rng,
+            jnp.float32(beta_i), jnp.float32(kl_i))
+        opt_t.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        loss_t = ref.loss(xt, torch.tensor(eps), beta=beta_i, kl=kl_i)
+        loss_t.backward()
+        opt_t.step()
+        lj, lt = float(loss), float(loss_t)
+        rel = abs(lj - lt) / max(abs(lt), 1e-12)
+        gaps.append(rel)
+        if i % report_every == 0 or i == 1:
+            _report('btcvae', i, lj, lt, rel)
+    return float(np.mean(gaps[-n_steps // 4:]))
+
+
+def parity_aemsp(n_steps=200, batch=32, lr=1e-3, report_every=50, alpha=20.0):
+    """AEMSP (cond-ae-msp) lockstep parity: pixel MSE + alpha * (label MSE +
+    back-projection MSE) through the trainable projection (aes.py:1019-1041)."""
+    h_img, w_img, n_labels = 32, 24, 2
+    hp = build_hparams(img=(1, h_img, w_img), n_latents=5,
+                       model_class='cond-ae-msp', n_labels=n_labels,
+                       **{'msp.alpha': alpha})
+    torch.manual_seed(0)
+    ref = TorchRefAEMSP(hp)
+
+    model = AEMSP(hp)
+    params = model.init(jax.random.PRNGKey(0))
+    params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+    tx = optim.amsgrad(lr)
+    opt_state = tx.init(params)
+    opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
+
+    @jax.jit
+    def step(params, opt_state, batch_d):
+        def lf(p):
+            return model.loss_fn(p, batch_d, jax.random.PRNGKey(0))[0]
+        # U (the save-time orthogonal completion) has no grad path: its
+        # gradient is exactly zero, so Adam leaves it untouched on both sides
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    gaps = []
+    data = _blob_batches(np.random.RandomState(8), batch, h_img, w_img, n_steps)
+    for i, (x, labels) in enumerate(data, 1):
+        params, opt_state, loss = step(
+            params, opt_state,
+            {'images': jnp.asarray(x), 'labels': jnp.asarray(labels)})
+        opt_t.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        loss_t = ref.loss(xt, torch.tensor(labels), alpha=alpha)
+        loss_t.backward()
+        opt_t.step()
+        lj, lt = float(loss), float(loss_t)
+        rel = abs(lj - lt) / max(abs(lt), 1e-12)
+        gaps.append(rel)
+        if i % report_every == 0 or i == 1:
+            _report('aemsp', i, lj, lt, rel)
     return float(np.mean(gaps[-n_steps // 4:]))
 
 
@@ -347,8 +512,10 @@ def parity_convdecoder(n_steps=200, batch=32, lr=1e-3, report_every=50):
     return float(np.mean(gaps[-n_steps // 4:]))
 
 
-PARITIES = {'ae': parity_ae, 'psvae': parity_psvae, 'mspsvae': parity_mspsvae,
-            'decoder': parity_decoder, 'convdecoder': parity_convdecoder}
+PARITIES = {'ae': parity_ae, 'vae': parity_vae, 'btcvae': parity_btcvae,
+            'aemsp': parity_aemsp, 'psvae': parity_psvae,
+            'mspsvae': parity_mspsvae, 'decoder': parity_decoder,
+            'convdecoder': parity_convdecoder}
 
 
 def main(models=None):
