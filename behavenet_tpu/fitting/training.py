@@ -453,6 +453,10 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
             ckpt['opt_state'])
         key = jnp.asarray(ckpt['key'])
+        # restore the batching-order seed: without this an UNSEEDED run
+        # (rng_seed_train not set -> random rng_train) would resume with a
+        # fresh seed and a different batch order than the original run
+        rng_train = ckpt.get('rng_train', rng_train)
         best_val_loss = ckpt['best_val_loss']
         best_val_epoch = ckpt['best_val_epoch']
         start_epoch = ckpt['epoch'] + 1
@@ -633,6 +637,7 @@ def fit(hparams, model, data_generator, exp, method='ae', warm_start=None):
                             lambda x: np.asarray(x) if hasattr(x, 'shape') else x,
                             opt_state),
                         'key': np.asarray(key),
+                        'rng_train': rng_train,
                         'epoch': i_epoch,
                         'best_val_loss': best_val_loss,
                         'best_val_epoch': best_val_epoch,

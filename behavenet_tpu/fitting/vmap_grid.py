@@ -381,10 +381,13 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     -> device stream feeds k optimizer steps, so input-bound grids run ~k
     times faster than the sequential trial loop. Multisession ``seg_lens``
     batches (MSPS-VAE) work: the static segment lengths select the compiled
-    program per bucket combination, as in the sequential trainer. Not
-    supported here (use the sequential path): mid-run resume checkpoints,
-    ``steps_per_dispatch`` (the trial scan already amortizes dispatch),
-    tp sharding.
+    program per bucket combination, as in the sequential trainer. Mid-run
+    resume works group-wise (``last_checkpoint_group.pkl`` in the first
+    trial's version dir: the trials share one stream and one program, so
+    the group restarts as a unit; ``resume_version`` triggers it exactly
+    as in the sequential trainer). Not supported here (use the sequential
+    path): ``steps_per_dispatch`` (the trial scan already amortizes
+    dispatch), tp sharding.
 
     ``mesh='auto'`` (default) shards the trial axis over all local devices
     whenever more than one is visible (:func:`default_grid_mesh`; cap or
@@ -463,8 +466,43 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
         keys, subs = jnp.split(jax.vmap(jax.random.split, out_axes=1)(keys), 2)
         return keys[0], subs[0]
 
+    # mid-run group resume (mirrors training.fit's last_checkpoint.pkl, the
+    # reference's acknowledged TODO training.py:9): the trials share one
+    # data stream and one compiled program, so the WHOLE group restarts as
+    # a unit — the checkpoint lives in the first trial's version dir and
+    # carries a grouping signature that must match on restart (a changed
+    # grid regroups differently; a stale checkpoint is then ignored).
+    import pickle as _pickle
+    group_sig = [(os.path.basename(d), t) for d, t in zip(expt_dirs, trials)]
+    ckpt_file = os.path.join(expt_dirs[0], 'last_checkpoint_group.pkl')
+    start_epoch = 0
+    if hp0.get('resume_version') is not None and os.path.exists(ckpt_file):
+        with open(ckpt_file, 'rb') as f:
+            ckpt = _pickle.load(f)
+        if ckpt.get('group_sig') != group_sig:
+            print('vmap_trials: group checkpoint signature mismatch, '
+                  'starting fresh')
+        else:
+            params_k = jax.tree_util.tree_map(jnp.asarray, ckpt['params_k'])
+            opt_state_k = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                ckpt['opt_state_k'])
+            keys = jnp.asarray(ckpt['keys'])
+            rng_train = ckpt.get('rng_train', rng_train)
+            best_val_loss = ckpt['best_val_loss']
+            best_val_epoch = ckpt['best_val_epoch']
+            best_saved = ckpt['best_saved']
+            for i in range(k):
+                bf = os.path.join(expt_dirs[i], 'best_val_model.pt')
+                if best_saved[i] and os.path.exists(bf):
+                    best_params[i], _ = models_base.load_params(bf)
+                else:
+                    best_saved[i] = False
+            start_epoch = ckpt['epoch'] + 1
+            print('vmap_trials: resuming group from epoch %i' % start_epoch)
+
     i_epoch = 0
-    for i_epoch in range(0, hp0['max_n_epochs'] + 1):
+    for i_epoch in range(start_epoch, hp0['max_n_epochs'] + 1):
         np.random.seed(rng_train + i_epoch)
         for lg in loggers:
             lg.reset_metrics('train')
@@ -552,6 +590,24 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
         if i_epoch > 0 and dt > 0:
             print('epoch %03i/%03i: %.2fs, %.0f frames/sec through %i trials'
                   % (i_epoch, hp0['max_n_epochs'], dt, n_frames_epoch / dt, k))
+
+        # full-state group checkpoint for exact mid-run resume
+        if hp0.get('checkpoint_interval', 1):
+            if i_epoch % int(hp0.get('checkpoint_interval', 1)) == 0:
+                with open(ckpt_file, 'wb') as f:
+                    _pickle.dump({
+                        'group_sig': group_sig,
+                        'params_k': jax.tree_util.tree_map(np.asarray, params_k),
+                        'opt_state_k': jax.tree_util.tree_map(
+                            lambda x: np.asarray(x) if hasattr(x, 'shape') else x,
+                            opt_state_k),
+                        'keys': np.asarray(keys),
+                        'rng_train': rng_train,
+                        'epoch': i_epoch,
+                        'best_val_loss': best_val_loss,
+                        'best_val_epoch': best_val_epoch,
+                        'best_saved': best_saved,
+                    }, f)
 
         if stops is not None:
             for i, (st, lg) in enumerate(zip(stops, loggers)):

@@ -59,7 +59,7 @@ def _ae_hparams(img=(1, 128, 128), compute_dtype='bfloat16', **extra):
 
 
 def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1,
-            img=(1, 128, 128)):
+            img=(1, 128, 128), compute_dtype='bfloat16'):
     """Device-resident train-step throughput (compute upper bound)."""
     import jax
     import jax.numpy as jnp
@@ -67,7 +67,7 @@ def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1,
     from behavenet_tpu.fitting.training import make_multi_step, make_train_functions
     from behavenet_tpu.models import AE
 
-    hp = _ae_hparams(img=img)
+    hp = _ae_hparams(img=img, compute_dtype=compute_dtype)
     model = AE(hp)
     tx, train_step, _ = make_train_functions(model, hp)
     params = model.init(jax.random.PRNGKey(0))
@@ -96,9 +96,9 @@ def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1,
     t0 = time.perf_counter()
     params, opt_state, m = train_step(params, opt_state, rng, b, {}, 0, None)
     _ = float(m['loss'])
-    print('img=%s batch=%d spd=%d compile+first step: %.0fs'
-          % ('x'.join(map(str, img)), batch, spd, time.perf_counter() - t0),
-          file=sys.stderr)
+    print('img=%s batch=%d spd=%d dtype=%s compile+first step: %.0fs'
+          % ('x'.join(map(str, img)), batch, spd, compute_dtype,
+             time.perf_counter() - t0), file=sys.stderr)
     params, opt_state, m = train_step(params, opt_state, rng, b, {}, 0, None)
     _ = float(m['loss'])
 
@@ -113,23 +113,26 @@ def measure(batch, n_steps=50, n_repeats=3, steps_per_dispatch=1,
         final_loss = float(m['loss'])  # host fetch = true sync
         dt = time.perf_counter() - t0
         fps = n_steps * spd * batch / dt
-        print('img=%s batch=%d spd=%d rep=%d: %.0f frames/s (%.2f ms/step, final loss %.5f)' % (
-            'x'.join(map(str, img)), batch, spd, rep, fps,
+        print('img=%s batch=%d spd=%d dtype=%s rep=%d: %.0f frames/s (%.2f ms/step, final loss %.5f)' % (
+            'x'.join(map(str, img)), batch, spd, compute_dtype, rep, fps,
             dt / (n_steps * spd) * 1e3, final_loss), file=sys.stderr)
         assert np.isfinite(final_loss)
         best = max(best, fps)
     return best
 
 
-def measure_streamed(T=192, n_trials=50, n_epochs=3, hw=128, prefetch_workers=4,
-                     prefetch_depth=4):
+def measure_streamed(T=189, n_trials=50, n_epochs=3, hw=128, n_views=2,
+                     prefetch_workers=4, prefetch_depth=4):
     """End-to-end epoch throughput streaming real trials from an HDF5 on disk.
 
     Exercises the actual training input path (reference hot path
-    data_generator.py:551-633): lazy per-trial HDF5 reads ->
-    collation/bucketing -> parallel-staged host->device upload (prefetch
-    pipeline) -> jitted train step. Returns (epoch_frames_per_sec,
-    host_staging_gb_per_sec, train_frames_per_epoch).
+    data_generator.py:551-633) at the HEADLINE shape — 2-view Musall
+    (189, 2, 128, 128) uint8 trials (VERDICT r4 item 5): lazy per-trial
+    HDF5 reads through the native fused read+NCHW->NHWC staging kernel
+    (data/raw_h5.read_nhwc -> _native/staging.cpp) -> collation/bucketing
+    -> parallel-staged host->device upload (prefetch pipeline) -> jitted
+    train step. Returns (epoch_frames_per_sec, host_staging_gb_per_sec,
+    train_frames_per_epoch, native_staging_used).
     """
     import h5py
     import jax
@@ -150,10 +153,16 @@ def measure_streamed(T=192, n_trials=50, n_epochs=3, hw=128, prefetch_workers=4,
             for i in range(n_trials):
                 g.create_dataset(
                     'trial_%04i' % i,
-                    data=rs.randint(0, 255, size=(T, 1, hw, hw)), dtype='uint8')
-        gb_written = n_trials * T * hw * hw / 1e9
-        print('streamed: wrote %d trials x %d frames (%.2f GB) to %s'
-              % (n_trials, T, gb_written, h5_path), file=sys.stderr)
+                    data=rs.randint(0, 255, size=(T, n_views, hw, hw)),
+                    dtype='uint8')
+        gb_written = n_trials * T * n_views * hw * hw / 1e9
+        print('streamed: wrote %d trials x %d %d-view frames (%.2f GB) to %s'
+              % (n_trials, T, n_views, gb_written, h5_path), file=sys.stderr)
+
+        # is the native fused staging kernel live for this read path?
+        from behavenet_tpu import _native
+        native_used = (_native.get_lib() is not None
+                       and not os.environ.get('BEHAVENET_NO_NATIVE'))
 
         ids = {'lab': 'lab', 'expt': 'expt', 'animal': 'animal', 'session': 'session'}
         dg = ConcatSessionsGenerator(
@@ -162,7 +171,7 @@ def measure_streamed(T=192, n_trials=50, n_epochs=3, hw=128, prefetch_workers=4,
         n_train = dg.n_tot_batches['train']
         frames_per_epoch = n_train * T
 
-        hp = _ae_hparams(shape_bucket=32)
+        hp = _ae_hparams(img=(n_views, hw, hw), shape_bucket=32)
         model = AE(hp)
         tx, train_step, _ = make_train_functions(model, hp)
         params = model.init(jax.random.PRNGKey(0))
@@ -220,7 +229,7 @@ def measure_streamed(T=192, n_trials=50, n_epochs=3, hw=128, prefetch_workers=4,
                   % (ep, fps, dt, final_loss), file=sys.stderr)
             assert np.isfinite(final_loss)
             best = max(best, fps)
-        return best, host_gbps, frames_per_epoch
+        return best, host_gbps, frames_per_epoch, native_used
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
@@ -289,7 +298,13 @@ def measure_staging_2view(T=189, n_trials=15, hw=128, n_passes=3):
 
 
 def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
-    """EM iterations/sec on device (BASELINE metric 'ARHMM EM iters/sec')."""
+    """EM iterations/sec on device (BASELINE metric 'ARHMM EM iters/sec').
+
+    Returns a self-diagnosing dict (VERDICT r4 item 7): the best rate plus
+    the per-rep rates for the per-dispatch and fused paths separately, so a
+    round-over-round move is attributable to tunnel variance (wide per-rep
+    spread) vs a real regression (tight spread at a lower level).
+    """
     import jax
 
     from behavenet_tpu.models.arhmm import ARHMM, _pad_datas
@@ -309,7 +324,7 @@ def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
     print('arhmm: compile + first EM iter: %.0fs'
           % (time.perf_counter() - t0), file=sys.stderr)
 
-    best = 0.0
+    reps = []
     for rep in range(n_repeats):
         t0 = time.perf_counter()
         for _ in range(n_iters):
@@ -320,7 +335,7 @@ def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
         print('arhmm rep=%d: %.1f EM iters/s (ll %.1f)'
               % (rep, ips, final_ll), file=sys.stderr)
         assert np.isfinite(final_ll)
-        best = max(best, ips)
+        reps.append(round(ips, 2))
 
     # fused dispatch: all n_iters iterations scanned inside ONE device
     # program (the fit(iters_per_dispatch=k) path) — amortizes per-dispatch
@@ -332,6 +347,7 @@ def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
     _ = float(lls_f[-1])
     print('arhmm fused: compile + first %d-iter program: %.0fs'
           % (n_iters, time.perf_counter() - t0), file=sys.stderr)
+    fused_reps = []
     for rep in range(n_repeats):
         t0 = time.perf_counter()
         params_f, lls_f = fused(model.params)
@@ -341,12 +357,16 @@ def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
         print('arhmm fused rep=%d: %.1f EM iters/s (ll %.1f)'
               % (rep, ips, final_ll), file=sys.stderr)
         assert np.isfinite(final_ll)
-        best = max(best, ips)
-    return best
+        fused_reps.append(round(ips, 2))
+    return {'best': max(reps + fused_reps),
+            'per_dispatch_reps': reps, 'fused_reps': fused_reps,
+            'n_iters_per_rep': n_iters,
+            'workload': 'K=%d D=%d %dx%d-frame trials' % (K, D, n_trials, T)}
 
 
 def measure_parity():
-    """Torch lockstep training parity (ae / psvae / mspsvae / decoder / convdecoder) in a CPU subprocess.
+    """Torch lockstep training parity (full matrix: ae / vae / btcvae /
+    aemsp / psvae / mspsvae / decoder / convdecoder) in a CPU subprocess.
 
     Returns a dict of converged-regime relative gaps in %, one per model,
     plus 'worst' (the max; BASELINE target < 1%).
@@ -394,44 +414,72 @@ def main():
 
     # 1. compute throughput. The headline is the reference's published
     # workload: the 2-view Musall dataset at 189-frame trial batches
-    # (reference examples/01_ae.ipynb:21, batch shape (189, 2, 128, 128)).
-    # The 1-view batch-1024 point is the per-chip ceiling.
-    results = {}  # (n_views, batch) -> best fps
-    for views, batch, spd in ((2, 189, 1), (2, 189, 8), (2, 1024, 1), (1, 1024, 1), (1, 189, 8)):
+    # (reference examples/01_ae.ipynb:21, batch shape (189, 2, 128, 128)),
+    # reported per spd and per dtype (VERDICT r4 items 1-2/6: the spd=8
+    # point is the fit(steps_per_dispatch=8) configuration; the f32 point
+    # is the shipped default dtype). The 1-view batch-1024 point is the
+    # per-chip ceiling.
+    configs = ((2, 189, 1, 'bfloat16'), (2, 189, 8, 'bfloat16'),
+               (2, 189, 1, 'float32'), (2, 1024, 1, 'bfloat16'),
+               (1, 1024, 1, 'bfloat16'), (1, 189, 8, 'bfloat16'))
+    results = {}  # (n_views, batch, spd, dtype) -> best fps
+    for views, batch, spd, dtype in configs:
         if elapsed() > 0.45 * budget:
             # a dead tunnel burns ~25 min per backend-init attempt; stop
             # retrying configs so the host-side stages + JSON line still land
-            print('skipping views=%d batch=%d spd=%d (%.0fs elapsed)'
-                  % (views, batch, spd, elapsed()), file=sys.stderr)
+            print('skipping views=%d batch=%d spd=%d dtype=%s (%.0fs elapsed)'
+                  % (views, batch, spd, dtype, elapsed()), file=sys.stderr)
             continue
         try:
-            fps = measure(batch, steps_per_dispatch=spd, img=(views, 128, 128))
-            key = (views, batch)
-            results[key] = max(results.get(key, 0.0), fps)
+            fps = measure(batch, steps_per_dispatch=spd, img=(views, 128, 128),
+                          compute_dtype=dtype)
+            results[(views, batch, spd, dtype)] = fps
         except Exception as e:  # keep the bench robust to transient tunnel errors
-            print('views=%d batch=%d spd=%d failed: %s'
-                  % (views, batch, spd, e), file=sys.stderr)
+            print('views=%d batch=%d spd=%d dtype=%s failed: %s'
+                  % (views, batch, spd, dtype, e), file=sys.stderr)
 
-    def _stage(views, batch):
-        fps = results.get((views, batch))
+    def _best(views, batch, dtype='bfloat16'):
+        """Best fps over spd for one (views, batch, dtype) point."""
+        return max([v for (vw, b, _, dt), v in results.items()
+                    if (vw, b, dt) == (views, batch, dtype)] or [0.0])
+
+    def _stage(key):
+        fps = results.get(key)
         if not fps:
             return None
-        return {'frames_per_sec': round(fps, 1),
-                'train_gflops_per_frame': round(tf_per_frame[views] / 1e9, 3),
-                'mfu': round(mfu(fps, tf_per_frame[views], peak), 4)}
+        views, _, spd, dtype = key
+        d = {'frames_per_sec': round(fps, 1),
+             'train_gflops_per_frame': round(tf_per_frame[views] / 1e9, 3),
+             'steps_per_dispatch': spd, 'dtype': dtype}
+        if dtype == 'bfloat16':  # MFU is only meaningful against the bf16 peak
+            d['mfu'] = round(mfu(fps, tf_per_frame[views], peak), 4)
+        return d
+
+    def _stage_name(key):
+        views, batch, spd, dtype = key
+        name = '%dview_%d' % (views, batch)
+        if spd != 1:
+            name += '_spd%d' % spd
+        if dtype != 'bfloat16':
+            name += '_f32'
+        return name
 
     error = None
     if results:
-        # headline = the published workload if it ran, else the best point
-        head = (2, 189) if (2, 189) in results else max(results, key=results.get)
-        fps = results[head]
-        head_label = '%dx128x128, batch %d' % ((head[0],) + (head[1],))
+        # headline = the published workload if it ran (best over spd — the
+        # fit() hot loop ships steps_per_dispatch), else the best point
+        fps = _best(2, 189)
+        if fps:
+            head_label = '2x128x128, batch 189'
+        else:
+            key = max(results, key=results.get)
+            fps, head_label = results[key], '%dx128x128, batch %d' % key[:2]
     else:
         # never exit without the JSON line: report the failure and still run
         # every stage that doesn't need the device (staging, parity)
         error = 'all TPU compute configs failed (backend unavailable?)'
         print(error, file=sys.stderr)
-        head, fps, head_label = (2, 189), 0.0, '2x128x128, batch 189'
+        fps, head_label = 0.0, '2x128x128, batch 189'
 
     # 2. streamed end-to-end training
     streamed = None
@@ -439,7 +487,7 @@ def main():
         print('skipping streamed bench (no working device)', file=sys.stderr)
     elif elapsed() < 0.55 * budget:
         try:
-            s_fps, host_gbps, frames_per_epoch = measure_streamed()
+            s_fps, host_gbps, frames_per_epoch, native_used = measure_streamed()
             # what a real TPU host would see: on co-located hardware the
             # host->device copy rides PCIe (>10 GB/s) and overlaps with
             # compute via the prefetch pipeline, so the epoch rate is
@@ -447,12 +495,13 @@ def main():
             # tunnel the upload serializes at ~0.05 GB/s, which is what
             # bounds `frames_per_sec` here; `projected_frames_per_sec`
             # carries the min-combination bound alongside the raw number.
-            host_fps = host_gbps * 1e9 / (128 * 128)  # 1-view uint8 frames
-            # keep the min() in one frame unit: the streamed session is
-            # 1-view, so only a 1-view step rate is comparable (a 2-view
-            # frame carries 2x the bytes/FLOPs)
-            step_fps = results.get((1, 189)) or results.get((1, 1024)) or 0.0
+            # The session is the 2-view headline shape, so all three rates
+            # are in 2-view frames (2*128*128 uint8 bytes each).
+            host_fps = host_gbps * 1e9 / (2 * 128 * 128)
+            step_fps = _best(2, 189) or _best(2, 1024)
             streamed = {
+                'shape': '189x2x128x128',
+                'native_staging_used': native_used,
                 'frames_per_sec': round(s_fps, 1),
                 'host_staging_gb_per_sec': round(host_gbps, 3),
                 'host_staging_frames_per_sec': round(host_fps, 1),
@@ -482,12 +531,12 @@ def main():
               file=sys.stderr)
 
     # 3. ARHMM EM rate
-    em_ips = None
+    em = None
     if error is not None:
         print('skipping EM bench (no working device)', file=sys.stderr)
     elif elapsed() < 0.7 * budget:
         try:
-            em_ips = round(measure_arhmm_em(), 2)
+            em = measure_arhmm_em()
         except Exception as e:
             print('arhmm EM bench failed: %s' % e, file=sys.stderr)
     else:
@@ -507,27 +556,31 @@ def main():
     # 128x128 *grayscale* (1-view) frames: use the best 1-view point, or if
     # only 2-view configs ran, FLOP-normalize the 2-view rate into
     # grayscale-frame equivalents so the ratio stays comparable across rounds.
-    fps_baseline = max(results.get((1, 189), 0.0), results.get((1, 1024), 0.0))
+    fps_baseline = max(_best(1, 189), _best(1, 1024))
     if not fps_baseline:
-        best_2view = max(results.get((2, 189), 0.0), results.get((2, 1024), 0.0))
-        fps_baseline = best_2view * tf_per_frame[2] / tf_per_frame[1]
+        fps_baseline = max(_best(2, 189), _best(2, 1024)) \
+            * tf_per_frame[2] / tf_per_frame[1]
 
+    stages = {_stage_name(k): _stage(k) for k in sorted(results, key=str)}
+    head_stage = stages.get('2view_189') or {}
     print(json.dumps({
         'metric': 'AE train frames/sec/chip (%s)' % head_label,
         'value': round(fps, 1),
         'unit': 'frames/sec',
         'vs_baseline': round(fps_baseline / TARGET_FPS, 3),
         'vs_baseline_fps_1view': round(fps_baseline, 1),
-        'fps_2view_189': round(results.get((2, 189), 0.0), 1),
-        'fps_1view_189': round(results.get((1, 189), 0.0), 1),
-        'fps_1view_1024': round(results.get((1, 1024), 0.0), 1),
-        'fps_2view_1024': round(results.get((2, 1024), 0.0), 1),
-        'mfu_2view_189': (_stage(2, 189) or {}).get('mfu'),
-        'stages': {'%dview_%d' % k: _stage(*k) for k in sorted(results)},
+        'fps_2view_189': round(_best(2, 189), 1),
+        'fps_2view_189_f32': round(_best(2, 189, 'float32'), 1),
+        'fps_1view_189': round(_best(1, 189), 1),
+        'fps_1view_1024': round(_best(1, 1024), 1),
+        'fps_2view_1024': round(_best(2, 1024), 1),
+        'mfu_2view_189': head_stage.get('mfu'),
+        'stages': stages,
         'peak_tflops': round(peak / 1e12, 1),
         'streamed': streamed,
         'host_staging_2view': staging_2view,
-        'arhmm_em_iters_per_sec': em_ips,
+        'arhmm_em_iters_per_sec': em.get('best') if em else None,
+        'arhmm_em': em,
         # scalar key kept for round-over-round compatibility (= worst gap);
         # per-model breakdown under its own key
         'parity_converged_rel_gap_pct':

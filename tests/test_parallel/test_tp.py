@@ -76,6 +76,12 @@ def _run_steps(model, step_fns, n_steps=3, batch_size=16):
 class TestTPEquivalence:
 
     def test_params_match_single_device_no_bn(self):
+        # this IS the shipped default configuration: ae_batch_norm defaults
+        # to 0 (models/arch.py:289, matching the reference generator's
+        # default, reference ae_model_architecture_generator.py:114,712) and
+        # the optimizer defaults to amsgrad — so the published arch under
+        # the published optimizer has STRICT param equivalence coverage;
+        # only the opt-in BN variant needs the SGD diagnostics hook below.
         model, hp = _make_model(batch_norm=0)
         losses_s, params_s = _run_steps(model, make_train_functions(model, hp))
         mesh = make_mesh_2d(2, 4)

@@ -173,10 +173,16 @@ def run_ssm(datas, init, K, D, lags, n_iters):
     return lls, states
 
 
-def main(n_iters=30):
+def main(n_iters=30, require_ssm=False):
     try:
         import ssm  # noqa: F401
     except ImportError:
+        if require_ssm:
+            # nightly-CI hard gate (VERDICT r4 item 3): the whole point of
+            # the CI step is the literal comparison, so a missing ssm is a
+            # failure there, not a skip
+            print('FAIL: --require-ssm set but `ssm` is not importable')
+            return 2
         print('=' * 66)
         print('SKIP: reference `ssm` package is not installed in this')
         print('environment, so the literal ssm-EM comparison cannot run.')
@@ -206,4 +212,4 @@ def main(n_iters=30):
 
 
 if __name__ == '__main__':
-    sys.exit(main())
+    sys.exit(main(require_ssm='--require-ssm' in sys.argv))
