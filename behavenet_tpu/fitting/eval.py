@@ -77,8 +77,10 @@ def export_latents(data_generator, model, params, filename=None, version=None,
         data_generator.reset_iterators(dtype)
         for _ in range(data_generator.n_tot_batches[dtype]):
             data, sess = data_generator.next_batch(dtype)
+            # cond-vae included: its conditional encoder works here (the
+            # reference's crashes, see models/aes.py conditional gate)
             labels_2d = data.get('labels_sc') if (
-                model.hparams['model_class'] == 'cond-ae'
+                model.hparams['model_class'] in ('cond-ae', 'cond-vae')
                 and model.hparams.get('conditional_encoder', False)) else None
             latents[sess][data['batch_idx']] = _encode_latents(
                 model, params, data['images'], labels_2d=labels_2d, dataset=sess)

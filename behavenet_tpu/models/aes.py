@@ -92,8 +92,13 @@ class ConvEncoder:
         self.act_dtype = self.compute_dtype \
             if hparams.get('bf16_pipeline', False) else None
 
-        # extra input channels for conditional encoder (labels_2d appended)
-        if hparams.get('model_class') == 'cond-ae' and hparams.get('conditional_encoder', False):
+        # extra input channels for conditional encoder (labels_2d appended).
+        # The reference gates this on cond-ae only (aes.py:130-137), so its
+        # ConditionalVAE advertises `conditional_encoder` (vaes.py:226,266)
+        # but crashes on a channel mismatch when it's set; here cond-vae is
+        # included so the advertised combination actually works.
+        if hparams.get('model_class') in ('cond-ae', 'cond-vae') \
+                and hparams.get('conditional_encoder', False):
             n_labels = int(hparams['n_labels'] / 2)
         else:
             n_labels = 0

@@ -118,22 +118,28 @@ def _infer_fns(model, params):
                int(hp['n_input_channels']))
         n_labels = int(hp['n_labels'])
         rng = jax.random.PRNGKey(0)
+        cond_enc = bool(hp.get('conditional_encoder', False))
+        vae_kw = {} if mc == 'cond-ae' else {'rng': rng, 'use_mean': True}
 
-        if mc == 'cond-ae':
-            def encode(x, y):
-                return model.forward(params, _norm_images(x), labels=y)[1]
+        if cond_enc:
+            # conditional encoder: one-hot 2D label maps join the inputs
+            # (spatial layout as the labels_sc signal, NHWC)
+            def encode(x, y, y2d):
+                return model.forward(params, _norm_images(x), labels=y,
+                                     labels_2d=y2d, **vae_kw)[1]
 
-            def reconstruct(x, y):
-                return model.forward(params, _norm_images(x), labels=y)[0]
+            def reconstruct(x, y, y2d):
+                return model.forward(params, _norm_images(x), labels=y,
+                                     labels_2d=y2d, **vae_kw)[0]
+            specs = [(img, np.uint8), ((n_labels,), np.float32),
+                     ((img[0], img[1], n_labels // 2), np.float32)]
         else:
             def encode(x, y):
-                return model.forward(params, _norm_images(x), rng=rng,
-                                     labels=y, use_mean=True)[1]
+                return model.forward(params, _norm_images(x), labels=y, **vae_kw)[1]
 
             def reconstruct(x, y):
-                return model.forward(params, _norm_images(x), rng=rng,
-                                     labels=y, use_mean=True)[0]
-        specs = [(img, np.uint8), ((n_labels,), np.float32)]
+                return model.forward(params, _norm_images(x), labels=y, **vae_kw)[0]
+            specs = [(img, np.uint8), ((n_labels,), np.float32)]
         fns['encode'] = (encode, specs)
         fns['reconstruct'] = (reconstruct, specs)
 

@@ -366,7 +366,8 @@ def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
 
 def measure_parity():
     """Torch lockstep training parity (full matrix: ae / vae / btcvae /
-    aemsp / psvae / mspsvae / decoder / convdecoder) in a CPU subprocess.
+    condae / condvae / aemsp / psvae / mspsvae / decoder / convdecoder)
+    in a CPU subprocess.
 
     Returns a dict of converged-regime relative gaps in %, one per model,
     plus 'worst' (the max; BASELINE target < 1%).

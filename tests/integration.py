@@ -113,6 +113,10 @@ def make_tmp_data(data_dir):
             group_i = f.create_group('images')
             group_n = f.create_group('neural')
             group_l = f.create_group('labels')
+            # pixel-space scaled labels (build_hdf5 writes these for real
+            # data; the conditional-encoder path one-hots them via
+            # MakeOneHot2D) — x values first, then y (transforms.py:111-139)
+            group_ls = f.create_group('labels_sc')
             group_r = f.create_group('regions')
             group_ri = group_r.create_group('indxs')
             group_ri.create_dataset('region-0', data=np.arange(10))
@@ -130,6 +134,13 @@ def make_tmp_data(data_dir):
                 group_l.create_dataset(
                     'trial_%04i' % i,
                     data=np.random.randn(batch_len, TEMP_DATA['n_labels']), dtype='float32')
+                n_pts = TEMP_DATA['n_labels'] // 2
+                group_ls.create_dataset(
+                    'trial_%04i' % i,
+                    data=np.random.rand(batch_len, TEMP_DATA['n_labels'])
+                    * np.array([[DATA_DICT['x_pixels']] * n_pts
+                                + [DATA_DICT['y_pixels']] * n_pts]),
+                    dtype='float32')
 
 
 def get_model_config_files(model, json_dir):
@@ -203,7 +214,10 @@ def define_new_config_values(model, session='sess-0', device='cpu'):
             'data': data_dict,
             'model': {'experiment_name': ae_expt_name, 'model_class': model,
                       'model_type': ae_model_type, 'n_ae_latents': n_ae_latents,
-                      'l2_reg': l2_reg, 'conditional_encoder': False},
+                      # True exercises the one-hot-2D label-map input path
+                      # (labels_sc via MakeOneHot2D + widened first conv) —
+                      # a combination the reference advertises but crashes on
+                      'l2_reg': l2_reg, 'conditional_encoder': True},
             'training': training_dict, 'compute': compute_dict}
     if model == 'arhmm-labels':
         return {

@@ -276,6 +276,28 @@ class TestVAEs:
                                 **model.loss_kwargs(0))
         assert np.isfinite(float(loss))
 
+    def test_cond_vae_conditional_encoder(self):
+        """cond-vae + conditional_encoder trains here; the reference crashes
+        on this advertised combination (its encoder widens the input
+        channels for cond-ae only, reference aes.py:130-137 vs the concat
+        at vaes.py:266)."""
+        hp = make_hparams('cond-vae', conditional_encoder=True, **{'vae.beta': 1.0})
+        model = ConditionalVAE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        # first conv widened by n_labels/2 one-hot map channels
+        assert params['encoder']['conv_0']['w'].shape[2] == 1 + hp['n_labels'] // 2
+        rs = np.random.RandomState(0)
+        oh = np.zeros((5, 32, 24, hp['n_labels'] // 2), np.float32)
+        oh[:, 3, 4, :] = 1.0
+        batch = {
+            'images': jnp.array(rs.rand(5, 32, 24, 1), dtype=jnp.float32),
+            'labels': jnp.array(rs.randn(5, 4), dtype=jnp.float32),
+            'labels_sc': jnp.asarray(oh),
+        }
+        loss, _ = model.loss_fn(params, batch, jax.random.PRNGKey(1),
+                                **model.loss_kwargs(0))
+        assert np.isfinite(float(loss))
+
 
 class TestPSVAE:
 

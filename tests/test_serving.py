@@ -119,6 +119,26 @@ class TestConditional:
         np.testing.assert_allclose(np.asarray(b.reconstruct(images, y)),
                                    np.asarray(ref), atol=1e-5)
 
+    def test_cond_ae_conditional_encoder_three_input_heads(self, tmp_path, images):
+        """conditional_encoder exports carry the one-hot 2D label maps as a
+        third input (n_labels must be even: (x, y) coordinate pairs)."""
+        from behavenet_tpu.models import ConditionalAE
+        hp = _ae_hparams(model_class='cond-ae', n_labels=2,
+                         conditional_encoder=True)
+        model = ConditionalAE(hp)
+        params = model.init(jax.random.PRNGKey(0))
+        man = serving.export_model(model, params, str(tmp_path))
+        assert sorted(man['artifacts']) == ['encode', 'reconstruct']
+        b = serving.load_bundle(str(tmp_path))
+        rs = np.random.RandomState(1)
+        y = rs.randn(5, 2).astype('float32')
+        y2d = np.zeros((5,) + images.shape[1:3] + (1,), 'float32')
+        y2d[:, 2, 3, 0] = 1.0
+        ref = model.forward(params, jnp.asarray(images, jnp.float32) / 255.0,
+                            labels=jnp.asarray(y), labels_2d=jnp.asarray(y2d))[0]
+        np.testing.assert_allclose(np.asarray(b.reconstruct(images, y, y2d)),
+                                   np.asarray(ref), atol=1e-5)
+
 
 class TestDecoder:
 

@@ -28,6 +28,17 @@ class TestLockstepParity:
                                          anneal_epochs=6)
         assert gap < 1e-4, 'btcvae lockstep gap %.6f%%' % (gap * 100)
 
+    def test_condae_lockstep_short(self):
+        # conditional_encoder=True: covers the one-hot-2D encoder-input
+        # concat AND the latent-layer label concat
+        gap = parity_check.parity_condae(n_steps=12, batch=16, report_every=1000)
+        assert gap < 1e-4, 'condae lockstep gap %.6f%%' % (gap * 100)
+
+    def test_condvae_lockstep_short(self):
+        gap = parity_check.parity_condvae(n_steps=12, batch=16, report_every=1000,
+                                          anneal_epochs=6)
+        assert gap < 1e-4, 'condvae lockstep gap %.6f%%' % (gap * 100)
+
     def test_aemsp_lockstep_short(self):
         gap = parity_check.parity_aemsp(n_steps=12, batch=16, report_every=1000)
         assert gap < 1e-4, 'aemsp lockstep gap %.6f%%' % (gap * 100)

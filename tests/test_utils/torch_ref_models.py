@@ -103,6 +103,62 @@ class TorchRefBetaTCVAE(TorchRefVAE):
 
 
 # ---------------------------------------------------------------------------
+# Conditional AE / VAE (labels concatenated at the latent layer)
+
+class TorchRefCondAE(TorchRefAE):
+    """Torch conditional AE (reference aes.py:776-899): continuous labels
+    concatenate with the latents before decoding; with
+    ``conditional_encoder`` one spatial one-hot map per (x, y) label pair
+    concatenates to the input channels (reference aes.py:130-137, 831-836).
+    """
+
+    def __init__(self, hp):
+        hp_enc = dict(hp)
+        if hp.get('conditional_encoder', False):
+            hp_enc['ae_input_dim'] = \
+                [hp['ae_input_dim'][0] + hp['n_labels'] // 2] \
+                + list(hp['ae_input_dim'][1:])
+        super().__init__(hp_enc)
+        self.FF_dec = nn.Linear(hp['n_ae_latents'] + hp['n_labels'],
+                                self.FF_dec.out_features)
+
+    def forward(self, x, labels=None, labels_2d=None):
+        if self.hp.get('conditional_encoder', False):
+            x = torch.cat((x, labels_2d), dim=1)
+        z = self.FF_enc(self.encode_features(x))
+        return self.decode(torch.cat((z, labels), dim=1)), z
+
+    def loss(self, x, labels, labels_2d=None):
+        """Reference ConditionalAE.loss arithmetic, single chunk (aes.py:841-899)."""
+        y, _ = self.forward(x, labels=labels, labels_2d=labels_2d)
+        return torch.mean((y - x) ** 2)
+
+
+class TorchRefCondVAE(TorchRefVAE):
+    """Torch conditional VAE (reference vaes.py:211-365): the VAE graph with
+    continuous labels concatenated to the sampled latents before decoding.
+    ``conditional_encoder`` is left off — setting it crashes the reference
+    (its encoder widens input channels for cond-ae only, aes.py:130-137)."""
+
+    def __init__(self, hp):
+        super().__init__(hp)
+        self.FF_dec = nn.Linear(hp['n_ae_latents'] + hp['n_labels'],
+                                self.FF_dec.out_features)
+
+    def forward(self, x, labels=None, eps=None):
+        x1 = self.encode_features(x)
+        mu = self.FF_enc(x1)
+        logvar = self.logvar(x1)
+        z = mu if eps is None else eps * torch.exp(logvar) + mu
+        return self.decode(torch.cat((z, labels), dim=1)), z, mu, logvar
+
+    def loss(self, x, labels, eps, beta):
+        """Reference ConditionalVAE.loss arithmetic, single chunk (vaes.py:289-365)."""
+        x_hat, _, mu, logvar = self.forward(x, labels=labels, eps=eps)
+        return -t_gaussian_ll(x, x_hat) + beta * t_kl_div_to_std_normal(mu, logvar)
+
+
+# ---------------------------------------------------------------------------
 # AEMSP (matrix-subspace-projection AE)
 
 class TorchRefAEMSP(TorchRefAE):

@@ -13,6 +13,11 @@ Covered models (VERDICT r3 item 2, completed VERDICT r4 item 4):
   (reference models/vaes.py:38-209)
 - ``btcvae``  — Beta-TC-VAE: decomposed-KL ELBO gradients + twin anneal
   schedules (reference models/vaes.py:367-505)
+- ``condae``  — conditional AE with ``conditional_encoder`` ON: one-hot 2D
+  label maps at the encoder input + continuous labels at the latent layer
+  (reference models/aes.py:776-899)
+- ``condvae`` — conditional VAE: labels concatenated to the sampled
+  latents, shared beta-anneal schedule (reference models/vaes.py:211-365)
 - ``aemsp``   — AEMSP / cond-ae-msp: matrix-subspace-projection penalty
   (reference models/aes.py:901-1080)
 - ``psvae``   — PS-VAE incl. the full KL decomposition + label head
@@ -45,13 +50,14 @@ import optax
 
 from behavenet_tpu.ops import optim
 
-from behavenet_tpu.models import AE, AEMSP, MSPSVAE, PSVAE, VAE, BetaTCVAE
+from behavenet_tpu.models import (AE, AEMSP, MSPSVAE, PSVAE, VAE, BetaTCVAE,
+                                  ConditionalAE, ConditionalVAE)
 from behavenet_tpu.models.decoders import ConvDecoder, Decoder
 from behavenet_tpu.utils.torch_import import torch_state_dict_to_params
 from test_utils.test_torch_import import TorchRefAE, build_hparams
 from test_utils.torch_ref_models import (
-    TorchRefAEMSP, TorchRefBetaTCVAE, TorchRefMLPDecoder, TorchRefMSPSVAE,
-    TorchRefPSVAE, TorchRefVAE)
+    TorchRefAEMSP, TorchRefBetaTCVAE, TorchRefCondAE, TorchRefCondVAE,
+    TorchRefMLPDecoder, TorchRefMSPSVAE, TorchRefPSVAE, TorchRefVAE)
 
 
 def _report(name, i, lj, lt, rel):
@@ -217,6 +223,126 @@ def parity_btcvae(n_steps=200, batch=64, lr=1e-4, report_every=50, beta=5.0,
         gaps.append(rel)
         if i % report_every == 0 or i == 1:
             _report('btcvae', i, lj, lt, rel)
+    return float(np.mean(gaps[-n_steps // 4:]))
+
+
+def _blob_onehot2d(labels, h, w):
+    """(batch, 2) normalized blob labels -> (batch, h, w, 1) spatial one-hot.
+
+    The same derivation MakeOneHot2D applies to the labels_sc signal
+    (transforms.py:111-139), computed once here and fed to BOTH frameworks
+    so the conditional-encoder input channels are bit-identical.
+    """
+    pos = labels * [h / 4, w / 4] + [h / 2, w / 2]
+    b = labels.shape[0]
+    oh = np.zeros((b, h, w, 1), np.float32)
+    yi = np.clip(np.round(pos[:, 0]).astype(int), 0, h - 1)
+    xi = np.clip(np.round(pos[:, 1]).astype(int), 0, w - 1)
+    oh[np.arange(b), yi, xi, 0] = 1.0
+    return oh
+
+
+def parity_condae(n_steps=200, batch=32, lr=1e-3, report_every=50):
+    """Conditional-AE lockstep parity with ``conditional_encoder`` ON, so
+    both label concatenations are exercised: the spatial one-hot maps at
+    the encoder input (reference aes.py:130-137, 831-836) and the
+    continuous labels at the latent layer (aes.py:836)."""
+    h_img, w_img, n_labels = 32, 24, 2
+    hp = build_hparams(img=(1, h_img, w_img), n_latents=5,
+                       model_class='cond-ae', n_labels=n_labels,
+                       conditional_encoder=True)
+    torch.manual_seed(0)
+    ref = TorchRefCondAE(hp)
+
+    model = ConditionalAE(hp)
+    params = model.init(jax.random.PRNGKey(0))
+    params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+    tx = optim.amsgrad(lr)
+    opt_state = tx.init(params)
+    opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
+
+    @jax.jit
+    def step(params, opt_state, batch_d):
+        def lf(p):
+            return model.loss_fn(p, batch_d, jax.random.PRNGKey(0))[0]
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    gaps = []
+    data = _blob_batches(np.random.RandomState(12), batch, h_img, w_img, n_steps)
+    for i, (x, labels) in enumerate(data, 1):
+        oh = _blob_onehot2d(labels, h_img, w_img)
+        params, opt_state, loss = step(
+            params, opt_state,
+            {'images': jnp.asarray(x), 'labels': jnp.asarray(labels),
+             'labels_sc': jnp.asarray(oh)})
+        opt_t.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        loss_t = ref.loss(xt, torch.tensor(labels),
+                          labels_2d=torch.tensor(np.transpose(oh, (0, 3, 1, 2))))
+        loss_t.backward()
+        opt_t.step()
+        lj, lt = float(loss), float(loss_t)
+        rel = abs(lj - lt) / max(abs(lt), 1e-12)
+        gaps.append(rel)
+        if i % report_every == 0 or i == 1:
+            _report('condae', i, lj, lt, rel)
+    return float(np.mean(gaps[-n_steps // 4:]))
+
+
+def parity_condvae(n_steps=200, batch=32, lr=1e-4, report_every=50, beta=4.0,
+                   anneal_epochs=100):
+    """Conditional-VAE lockstep parity (vaes.py:211-365): the VAE ELBO with
+    labels concatenated to the sampled latents before decoding, incl. the
+    shared beta-anneal schedule."""
+    h_img, w_img, n_latents, n_labels = 32, 24, 5, 2
+    hp = build_hparams(
+        img=(1, h_img, w_img), n_latents=n_latents, model_class='cond-vae',
+        n_labels=n_labels, conditional_encoder=False, max_n_epochs=n_steps,
+        variational=True, **{'vae.beta': beta, 'vae.beta_anneal_epochs': anneal_epochs})
+    torch.manual_seed(0)
+    ref = TorchRefCondVAE(hp)
+
+    model = ConditionalVAE(hp)
+    params = model.init(jax.random.PRNGKey(0))
+    params = torch_state_dict_to_params(ref.reference_state_dict(), model, params)
+
+    tx = optim.amsgrad(lr)
+    opt_state = tx.init(params)
+    opt_t = torch.optim.Adam(ref.parameters(), lr=lr, amsgrad=True)
+
+    @jax.jit
+    def step(params, opt_state, batch_d, rng, beta_t):
+        def lf(p):
+            return model.loss_fn(p, batch_d, rng, beta=beta_t)[0]
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    gaps = []
+    data = _blob_batches(np.random.RandomState(13), batch, h_img, w_img, n_steps)
+    for i, (x, labels) in enumerate(data, 1):
+        rng = jax.random.PRNGKey(7000 + i)
+        eps = np.asarray(jax.random.normal(rng, (batch, n_latents), jnp.float32))
+        beta_i = float(model.beta_vals[i - 1])
+        params, opt_state, loss = step(
+            params, opt_state,
+            {'images': jnp.asarray(x), 'labels': jnp.asarray(labels)},
+            rng, jnp.float32(beta_i))
+        opt_t.zero_grad()
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        loss_t = ref.loss(xt, torch.tensor(labels), torch.tensor(eps), beta=beta_i)
+        loss_t.backward()
+        opt_t.step()
+        lj, lt = float(loss), float(loss_t)
+        rel = abs(lj - lt) / max(abs(lt), 1e-12)
+        gaps.append(rel)
+        if i % report_every == 0 or i == 1:
+            _report('condvae', i, lj, lt, rel)
     return float(np.mean(gaps[-n_steps // 4:]))
 
 
@@ -513,6 +639,7 @@ def parity_convdecoder(n_steps=200, batch=32, lr=1e-3, report_every=50):
 
 
 PARITIES = {'ae': parity_ae, 'vae': parity_vae, 'btcvae': parity_btcvae,
+            'condae': parity_condae, 'condvae': parity_condvae,
             'aemsp': parity_aemsp, 'psvae': parity_psvae,
             'mspsvae': parity_mspsvae, 'decoder': parity_decoder,
             'convdecoder': parity_convdecoder}
