@@ -364,13 +364,14 @@ def measure_arhmm_em(K=16, D=9, n_trials=100, T=1000, n_iters=20, n_repeats=3):
             'workload': 'K=%d D=%d %dx%d-frame trials' % (K, D, n_trials, T)}
 
 
-def measure_parity():
+def measure_parity(timeout_s=3600):
     """Torch lockstep training parity (full matrix: ae / vae / btcvae /
     condae / condvae / aemsp / psvae / mspsvae / decoder / convdecoder)
     in a CPU subprocess.
 
     Returns a dict of converged-regime relative gaps in %, one per model,
-    plus 'worst' (the max; BASELINE target < 1%).
+    plus 'worst' (the max; BASELINE target < 1%). ``timeout_s`` bounds the
+    subprocess so a slow (few-core) host can't stall the JSON line.
     """
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -378,7 +379,7 @@ def measure_parity():
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       'tools', 'parity_check.py'), '--json'],
-        env=env, capture_output=True, text=True, timeout=3600)
+        env=env, capture_output=True, text=True, timeout=timeout_s)
     print(out.stdout, file=sys.stderr)
     if out.returncode not in (0, 1):
         raise RuntimeError('parity_check failed: %s' % out.stderr[-2000:])
@@ -547,7 +548,10 @@ def main():
     parity = None
     if elapsed() < 0.85 * budget:
         try:
-            parity = measure_parity()
+            # never let the CPU parity subprocess stall the JSON line past
+            # ~1.5x budget, however slow the host
+            parity = measure_parity(
+                timeout_s=max(600, 1.5 * budget - elapsed()))
         except Exception as e:
             print('parity check failed: %s' % e, file=sys.stderr)
     else:
