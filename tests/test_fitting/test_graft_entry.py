@@ -17,7 +17,9 @@ class TestGraftEntry:
         import __graft_entry__ as g
         fn, args = g.entry()
         out = jax.jit(fn)(*args)
-        assert out.shape == (8, 128, 128, 1)
+        # AE reconstruction matches the example batch's shape (currently the
+        # 2-view Musall headline (8, 128, 128, 2); don't re-pin it here)
+        assert out.shape == args[1].shape
         assert np.isfinite(np.asarray(out)).all()
 
     def test_dryrun_multichip_8(self):
