@@ -114,10 +114,17 @@ def main_group(trial_list):
     versions, metrics, checkpoints, and exports are identical to the
     sequential path; the k trials consume one disk->host->device stream.
     """
-    from behavenet_tpu.fitting.vmap_grid import fit_vmap_grid
+    from behavenet_tpu.fitting.vmap_grid import (
+        fit_vmap_grid, group_resume_versions)
 
+    # the CLI's resume_version is ONE int (the first trial's version), but
+    # the grouped trials each own a version dir: after the first trial
+    # reopens its version, the group checkpoint's signature maps the rest
+    # back to THEIR versions (else every trial would reopen — and then
+    # clobber — the same dir)
+    resume_versions = None
     prepped = []
-    for hparams in trial_list:
+    for i, hparams in enumerate(trial_list):
         if not isinstance(hparams, dict):
             hparams = vars(hparams)
         if hparams['model_type'] == 'conv':
@@ -125,10 +132,16 @@ def main_group(trial_list):
         if hparams['model_type'] == 'conv' and \
                 hparams['n_ae_latents'] > hparams['max_latents']:
             raise ValueError('Number of latents higher than max latents')
+        if resume_versions is not None:
+            hparams['resume_version'] = resume_versions[i]
         hparams, sess_ids, exp = create_experiment(hparams)
         if hparams is None:
             print('Experiment exists! Skipping trial in vmap group')
             continue
+        if i == 0 and len(trial_list) > 1 and \
+                hparams.get('resume_version') is not None:
+            resume_versions = group_resume_versions(
+                hparams['expt_dir'], exp.version, len(trial_list))
         prepped.append((hparams, sess_ids, exp))
     if not prepped:
         return

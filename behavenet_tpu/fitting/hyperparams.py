@@ -210,15 +210,19 @@ def run_grid_search(main_fn, hyperparams, script_module=None, group_fn=None):
     if vmap_k is None and len(trials) > 1:
         # multi-chip hosts fan eligible grid trials out across local devices
         # automatically (the reference maps trials across local GPUs,
-        # ae_grid_search.py:173-187): group them all into one program whose
+        # ae_grid_search.py:173-187): group trials into one program whose
         # trial axis shards over the device mesh (fit_vmap_grid mesh='auto').
-        # Opt out with "vmap_trials": 0 / cap devices with "grid_devices".
+        # Auto groups are capped at 4 trials/device — params + amsgrad state
+        # for the whole group stay device-resident, and group_vmappable runs
+        # oversized grids as several groups back to back — while an explicit
+        # "vmap_trials": k is honored verbatim. Opt out with
+        # "vmap_trials": 0 / cap devices with "grid_devices".
         try:
             import jax
             n_dev = len(jax.devices())
         except Exception:
             n_dev = 1
-        vmap_k = len(trials) if n_dev > 1 else 0
+        vmap_k = min(len(trials), 4 * n_dev) if n_dev > 1 else 0
     vmap_k = vmap_k or 0
     if vmap_k and group_fn is not None and not (n_workers > 1 and device == 'cpu'):
         # k trials per jitted program over one shared data stream
@@ -227,6 +231,16 @@ def run_grid_search(main_fn, hyperparams, script_module=None, group_fn=None):
         from behavenet_tpu.fitting.vmap_grid import group_vmappable
         max_k = len(trials) if vmap_k is True else int(vmap_k)
         groups, singles = group_vmappable(trials, max_k)
+        if hyperparams.base.get('resume_version') is not None and \
+                (len(groups) != 1 or singles):
+            # resume_version names ONE version (the first trial of ONE
+            # interrupted group); with several groups or sequential
+            # leftovers every other unit would reopen — and clobber — it
+            raise ValueError(
+                'resume_version requires the grid to form exactly one '
+                'vmappable group (got %i group(s) + %i sequential '
+                'trial(s)); re-run with the interrupted group\'s config, '
+                'or resume a single trial alone' % (len(groups), len(singles)))
         if groups:
             print('vmap_trials: %i group(s) of up to %i trials, %i sequential'
                   % (len(groups), max_k, len(singles)))
@@ -235,6 +249,15 @@ def run_grid_search(main_fn, hyperparams, script_module=None, group_fn=None):
         for trial in singles:
             main_fn(trial)
         return
+    if len(trials) > 1 and hyperparams.base.get('resume_version') is not None:
+        # every trial would reopen (and then clobber) the same version dir:
+        # resume_version names ONE version, and only the grouped path can
+        # map the other trials back to theirs (group_resume_versions)
+        raise ValueError(
+            'resume_version with a multi-trial grid requires the grouped '
+            'path (vmappable trials + vmap_trials enabled); to resume one '
+            'trial of a sequential grid, run it alone (BEHAVENET_TRIAL_IDX '
+            'or a single-point config)')
     if n_workers > 1 and device == 'cpu':
         import multiprocessing
         with multiprocessing.get_context('spawn').Pool(n_workers) as pool:

@@ -32,8 +32,9 @@ share one compiled program and one data stream):
 
 - ``learning_rate``, ``l2_reg`` — traced into the optimizer update, which
   rebuilds the optax chain from per-trial scalars inside the step;
-- ``rng_seed_model`` / ``rng_seed_train`` — per-trial init and per-step
-  key streams;
+- ``rng_seed_model`` — per-trial init and per-step key streams
+  (``rng_seed_train`` must be identical across the group: it sets the
+  per-epoch batch order, and the trials share one data stream);
 - any keyword of the model's ``loss_fn`` (``beta``, ``kl``, ``alpha``, …)
   — per-trial, per-epoch values stacked by :func:`stack_loss_kwargs`
   (this covers the PS-VAE alpha/beta search documented in
@@ -61,11 +62,17 @@ from behavenet_tpu.fitting.training import (
     _STATE_LEAVES, _normalize_images, merge_state)
 
 __all__ = ['init_trials', 'stack_loss_kwargs', 'make_vmap_grid_functions',
-           'group_vmappable', 'fit_vmap_grid', 'default_grid_mesh']
+           'group_vmappable', 'fit_vmap_grid', 'default_grid_mesh',
+           'group_resume_versions']
 
 # hparams a trial may override besides loss_fn keywords
 _OPT_KEYS = ('learning_rate', 'l2_reg')
 _SEED_KEYS = ('rng_seed_model', 'rng_seed_train')
+# seed keys that may VARY across grouped trials: rng_seed_train is excluded
+# because in a sequential fit it drives the per-epoch batch ORDER, and the
+# grouped trials share one data stream — a per-trial batch order cannot be
+# reproduced, so trials that vary it fall back to the sequential loop
+_GROUPABLE_SEED_KEYS = ('rng_seed_model',)
 
 # hparams that may vary across grid trials fitted in one program: they only
 # reach the loss through per-trial init / optimizer scalars / per-epoch
@@ -264,8 +271,7 @@ def make_vmap_grid_functions(model, base_hparams, trials, mode='scan',
         pad = (-k) % n_grid
         # further mesh axes (e.g. 'dp') stay automatic: GSPMD shards the
         # batch/activations inside each grid shard and inserts collectives
-        manual = ({grid_axis} if len(mesh.axis_names) > 1 else
-                  set(mesh.axis_names))
+        manual = {grid_axis}
 
         def _pad_k(tree):
             if not pad:
@@ -352,7 +358,7 @@ def group_vmappable(trials, max_k):
     allowed = _VMAPPABLE_BY_CLASS.get(cls)
     if allowed is None:
         return [], list(trials)
-    allowed = allowed | set(_OPT_KEYS) | set(_SEED_KEYS)
+    allowed = allowed | set(_OPT_KEYS) | set(_GROUPABLE_SEED_KEYS)
 
     keys = set().union(*(set(t) for t in trials))
     varying = set()
@@ -370,6 +376,45 @@ def group_vmappable(trials, max_k):
     return groups, singles
 
 
+def group_resume_versions(expt_dir, version0, n_trials):
+    """Per-trial version numbers for resuming a grouped grid fit.
+
+    Grid trials of one model class share one ``expt_dir`` and were
+    allocated k DIFFERENT version dirs on the original run, but the CLI's
+    ``resume_version`` is a single int — reopening it for every trial
+    would clobber one version dir with all k trials' outputs. The group
+    checkpoint (``last_checkpoint_group.pkl``, written in the FIRST
+    trial's version dir) records each trial's version-dir basename in its
+    grouping signature; this reads them back so :func:`main_group` callers
+    can reopen each trial's own version. ``version0`` is the CLI's
+    ``resume_version`` (= the first trial's version). Raises with an
+    actionable message when the checkpoint is missing or the grid was
+    regrouped (the group is the resume unit).
+    """
+    import pickle
+    ckpt_file = os.path.join(expt_dir, 'version_%i' % int(version0),
+                             'last_checkpoint_group.pkl')
+    if not os.path.exists(ckpt_file):
+        raise FileNotFoundError(
+            'cannot resume grouped grid fit: no group checkpoint at %s '
+            '(resume_version must name the FIRST trial of the interrupted '
+            'group; single trials resume via the sequential path)' % ckpt_file)
+    with open(ckpt_file, 'rb') as f:
+        sig = pickle.load(f).get('group_sig') or []
+    if len(sig) != n_trials:
+        raise ValueError(
+            'cannot resume grouped grid fit: checkpoint at %s groups %i '
+            'trial(s) but the current grid groups %i — the group is the '
+            'resume unit, so the grid config must not be regrouped between '
+            'interrupt and resume' % (ckpt_file, len(sig), n_trials))
+    versions = [int(basename.rsplit('_', 1)[1]) for basename, _ in sig]
+    if versions[0] != int(version0):
+        raise ValueError(
+            'group checkpoint at %s records version_%i as its first trial, '
+            'not resume_version %i' % (ckpt_file, versions[0], int(version0)))
+    return versions
+
+
 def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
                   warm_fn=None, mode='scan', mesh='auto'):
     """Fit k grid trials in one program over a shared data stream.
@@ -384,10 +429,12 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     program per bucket combination, as in the sequential trainer. Mid-run
     resume works group-wise (``last_checkpoint_group.pkl`` in the first
     trial's version dir: the trials share one stream and one program, so
-    the group restarts as a unit; ``resume_version`` triggers it exactly
-    as in the sequential trainer). Not supported here (use the sequential
-    path): ``steps_per_dispatch`` (the trial scan already amortizes
-    dispatch), tp sharding.
+    the group restarts as a unit). Through the CLI, ``resume_version``
+    names the FIRST trial's version; :func:`group_resume_versions` maps
+    the remaining trials back to their own version dirs (``main_group``
+    does this before building ``exps``). Not supported here (use the
+    sequential path): ``steps_per_dispatch`` (the trial scan already
+    amortizes dispatch), tp sharding.
 
     ``mesh='auto'`` (default) shards the trial axis over all local devices
     whenever more than one is visible (:func:`default_grid_mesh`; cap or
@@ -449,7 +496,8 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     rng_train = int(hp0['rng_seed_train']) if hp0.get('rng_seed_train') is not None \
         else np.random.randint(0, 10000)
     keys = jnp.stack([jax.random.PRNGKey(
-        int(h.get('rng_seed_train', rng_train) or rng_train) + 7919 * i)
+        (rng_train if h.get('rng_seed_train') is None
+         else int(h['rng_seed_train'])) + 7919 * i)
         for i, h in enumerate(hparams_list)])
 
     expt_dirs = [os.path.join(h['expt_dir'], 'version_%i' % e.version)
@@ -473,7 +521,13 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
     # carries a grouping signature that must match on restart (a changed
     # grid regroups differently; a stale checkpoint is then ignored).
     import pickle as _pickle
-    group_sig = [(os.path.basename(d), t) for d, t in zip(expt_dirs, trials)]
+    # the signature also covers the class's vmappable loss-weight hparams
+    # (e.g. ps_vae.alpha) — trials may differ ONLY in those, and a config
+    # edited between interrupt and resume must not silently continue
+    extra_keys = sorted(_VMAPPABLE_BY_CLASS.get(model_class) or ())
+    group_sig = [(os.path.basename(d),
+                  dict(t, **{key: h.get(key) for key in extra_keys}))
+                 for d, t, h in zip(expt_dirs, trials, hparams_list)]
     ckpt_file = os.path.join(expt_dirs[0], 'last_checkpoint_group.pkl')
     start_epoch = 0
     if hp0.get('resume_version') is not None and os.path.exists(ckpt_file):
@@ -501,7 +555,10 @@ def fit_vmap_grid(hparams_list, models, data_generator, exps, method='ae',
             start_epoch = ckpt['epoch'] + 1
             print('vmap_trials: resuming group from epoch %i' % start_epoch)
 
-    i_epoch = 0
+    # if the resumed group is already complete the epoch loop body never
+    # runs: i_epoch must then be the final epoch so the closing test pass
+    # evaluates with the final (not epoch-0) loss-kwarg schedules
+    i_epoch = max(0, start_epoch - 1)
     for i_epoch in range(start_epoch, hp0['max_n_epochs'] + 1):
         np.random.seed(rng_train + i_epoch)
         for lg in loggers:

@@ -251,3 +251,37 @@ class TestVmapGridMSPSVAE:
             b = self._batches(1, seg)[0]
             params_k, opt_k, m = vstep(params_k, opt_k, rngs, b, lk, seg_lens=seg)
             assert np.all(np.isfinite(np.asarray(m['loss'])))
+
+
+class TestGroupVmappable:
+    """Eligibility partitioning for the grid-in-one-program path."""
+
+    def _trials(self, **varying):
+        base = {'model_class': 'ae', 'learning_rate': 1e-3,
+                'rng_seed_model': 0, 'rng_seed_train': 0, 'max_n_epochs': 2}
+        n = max(len(v) for v in varying.values())
+        return [dict(base, **{k: v[i] for k, v in varying.items()})
+                for i in range(n)]
+
+    def test_seed_model_variation_groups(self):
+        from behavenet_tpu.fitting.vmap_grid import group_vmappable
+        trials = self._trials(rng_seed_model=[0, 1, 2])
+        groups, singles = group_vmappable(trials, max_k=8)
+        assert len(groups) == 1 and len(groups[0]) == 3 and not singles
+
+    def test_seed_train_variation_falls_back_sequential(self):
+        """rng_seed_train drives the per-epoch batch ORDER in a sequential
+        fit; grouped trials share one data stream, so a grid varying it
+        cannot be grouped without silently changing per-trial results."""
+        from behavenet_tpu.fitting.vmap_grid import group_vmappable
+        trials = self._trials(rng_seed_train=[0, 1, 2])
+        groups, singles = group_vmappable(trials, max_k=8)
+        assert not groups and len(singles) == 3
+
+    def test_max_k_chunks_preserve_order(self):
+        from behavenet_tpu.fitting.vmap_grid import group_vmappable
+        trials = self._trials(learning_rate=[1e-3, 3e-4, 1e-4, 3e-5, 1e-5])
+        groups, singles = group_vmappable(trials, max_k=2)
+        assert [len(g) for g in groups] == [2, 2] and len(singles) == 1
+        flat = [t['learning_rate'] for g in groups for t in g]
+        assert flat == [1e-3, 3e-4, 1e-4, 3e-5]

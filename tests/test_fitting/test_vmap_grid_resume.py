@@ -108,6 +108,70 @@ class TestVmapGridResume:
         for pa, pb in zip(best_a, best_b):
             _assert_trees_close(pa, pb)
 
+    def test_cli_layout_group_resume(self, tmpdir, setup):
+        """The CLI layout: ALL grid trials share one expt_dir and own
+        different version numbers (experiment.py get_expt_dir keys only on
+        model class/type/latents). resume_version is a single int naming
+        the FIRST trial's version; group_resume_versions maps the others
+        back to their own versions from the group checkpoint — reopening
+        version_0 for every trial would clobber it."""
+        from behavenet_tpu.fitting.vmap_grid import group_resume_versions
+
+        def run(tag, max_n_epochs, resume=False):
+            expt = str(tmpdir.join('cli_%s' % tag))
+            hparams_list, models, gen = setup(expt, max_n_epochs,
+                                              resume=resume)
+            expt_dir = os.path.join(expt, 'g')
+            versions = [None] * len(hparams_list)
+            if resume:
+                versions = group_resume_versions(
+                    expt_dir, version0=0, n_trials=len(hparams_list))
+            exps = []
+            for hp, v in zip(hparams_list, versions):
+                hp['expt_dir'] = expt_dir
+                if resume:
+                    hp['resume_version'] = v
+                exps.append(Experiment('g', expt, version=v))
+                hp['version'] = exps[-1].version  # as create_experiment does
+            return fit_vmap_grid(hparams_list, models, gen, exps,
+                                 method='ae', mesh=None), hparams_list
+
+        best_a, _ = run('a', max_n_epochs=4)
+
+        best_b0, hps = run('b', max_n_epochs=2)
+        # CLI layout: one expt_dir, auto-allocated versions 0 and 1
+        expt_dir = hps[0]['expt_dir']
+        assert {hp['version'] for hp in hps} == {0, 1}
+        assert os.path.exists(os.path.join(
+            expt_dir, 'version_0', 'last_checkpoint_group.pkl'))
+        assert group_resume_versions(expt_dir, 0, len(hps)) == [0, 1]
+
+        best_b, hps_b = run('b', max_n_epochs=4, resume=True)
+        assert [hp['resume_version'] for hp in hps_b] == [0, 1]
+        for pa, pb in zip(best_a, best_b):
+            _assert_trees_close(pa, pb)
+
+    def test_group_resume_versions_errors(self, tmpdir, setup):
+        from behavenet_tpu.fitting.vmap_grid import group_resume_versions
+
+        expt = str(tmpdir.join('cli_err'))
+        hparams_list, models, gen = setup(expt, 1)
+        expt_dir = os.path.join(expt, 'g')
+        exps = []
+        for hp in hparams_list:
+            hp['expt_dir'] = expt_dir
+            exps.append(Experiment('g', expt))
+        # no checkpoint yet
+        with pytest.raises(FileNotFoundError, match='no group checkpoint'):
+            group_resume_versions(expt_dir, 0, len(hparams_list))
+        fit_vmap_grid(hparams_list, models, gen, exps, method='ae', mesh=None)
+        # regrouped grid (different trial count) must refuse, not clobber
+        with pytest.raises(ValueError, match='regrouped'):
+            group_resume_versions(expt_dir, 0, len(hparams_list) + 1)
+        # resume_version naming a non-first trial must refuse
+        with pytest.raises(FileNotFoundError):
+            group_resume_versions(expt_dir, 1, len(hparams_list))
+
     def test_signature_mismatch_starts_fresh(self, tmpdir, setup, capsys):
         """A checkpoint from a differently-grouped grid is ignored, not
         half-loaded (the group is the resume unit)."""
