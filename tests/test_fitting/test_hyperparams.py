@@ -120,3 +120,41 @@ class TestHyperparamGrid:
         assert g.lr == [1, 2]
         with pytest.raises(AttributeError):
             g.missing
+
+
+class TestRunGridSearchResumeGuards:
+    """resume_version names ONE version dir; any grid shape where several
+    run units would reopen (and then clobber) it must refuse up front."""
+
+    def _grid(self, n_trials, **base):
+        return HyperparamGrid(
+            dict({'model_class': 'ae', 'device': 'cpu',
+                  'rng_seed_model': 0, 'max_n_epochs': 1}, **base),
+            {'learning_rate': [1e-3 * (i + 1) for i in range(n_trials)]})
+
+    def test_sequential_multi_trial_resume_refused(self):
+        from behavenet_tpu.fitting.hyperparams import run_grid_search
+        hp = self._grid(2, resume_version=0, vmap_trials=0)
+        with pytest.raises(ValueError, match='multi-trial grid'):
+            run_grid_search(lambda t: None, hp, group_fn=lambda g: None)
+
+    def test_multi_group_resume_refused(self):
+        from behavenet_tpu.fitting.hyperparams import run_grid_search
+        # vmap_trials=2 over 3 trials -> 2 groups: ambiguous resume target
+        hp = self._grid(3, resume_version=0, vmap_trials=2)
+        with pytest.raises(ValueError, match='exactly one'):
+            run_grid_search(lambda t: None, hp, group_fn=lambda g: None)
+
+    def test_single_group_resume_dispatches_whole_group(self):
+        from behavenet_tpu.fitting.hyperparams import run_grid_search
+        hp = self._grid(2, resume_version=0, vmap_trials=2)
+        seen = []
+        run_grid_search(lambda t: None, hp, group_fn=seen.append)
+        assert len(seen) == 1 and len(seen[0]) == 2
+
+    def test_single_trial_resume_uses_sequential_path(self):
+        from behavenet_tpu.fitting.hyperparams import run_grid_search
+        hp = self._grid(1, resume_version=3, vmap_trials=0)
+        seen = []
+        run_grid_search(seen.append, hp, group_fn=lambda g: None)
+        assert len(seen) == 1 and seen[0]['resume_version'] == 3
